@@ -1,0 +1,62 @@
+"""Multi-chip (virtual 8-device CPU mesh) landmark-sharded BA parity tests:
+the sharded SPMD path must reproduce the single-chip result exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from amcslam_tpu.parallel.sharded_ba import make_sharded_ba_problem, shard_ba_data
+from amcslam_tpu.solver.ba import make_ba_problem
+from amcslam_tpu.solver.lm import lm_optimize
+from amcslam_tpu.utils.synthetic import make_local_ba_problem
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("l",))
+
+
+def test_sharded_matches_single_chip(mesh):
+    data, state0, gt = make_local_ba_problem(
+        n_kf=4, n_fixed=1, n_lm=32, obs_per_lm=2, seed=7
+    )
+    single = make_ba_problem(data, data.mg_valid, data.sg_valid, data.st_valid)
+    sb = shard_ba_data(data, state0, 8)
+    sharded = make_sharded_ba_problem(mesh, sb)
+
+    # chi2 parity (all closures jitted — eager shard_map is pathologically
+    # slow on the virtual CPU mesh)
+    c1 = float(jax.jit(single.chi2)(state0))
+    c2 = float(jax.jit(sharded.chi2)(sb.state0))
+    np.testing.assert_allclose(c2, c1, rtol=1e-12)
+
+    # linearization parity on pose system
+    lin1 = jax.jit(single.linearize)(state0)
+    lin2 = jax.jit(sharded.linearize)(sb.state0)
+    np.testing.assert_allclose(np.asarray(lin2[0]), np.asarray(lin1[0]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lin2[1]), np.asarray(lin1[1]), atol=1e-8)
+
+    # solve parity (pose increment identical; landmark increment via perm)
+    lam = jnp.asarray(0.5, jnp.float64)
+    (dxp1, dxl1), xx1, xb1 = jax.jit(single.solve)(lin1, lam)
+    (dxp2, dxl2), xx2, xb2 = jax.jit(sharded.solve)(lin2, lam)
+    np.testing.assert_allclose(np.asarray(dxp2), np.asarray(dxp1), atol=1e-9)
+    np.testing.assert_allclose(float(xx2), float(xx1), rtol=1e-9)
+    np.testing.assert_allclose(float(xb2), float(xb1), rtol=1e-9)
+    dxl2_np = np.asarray(dxl2)
+    valid = sb.lm_perm >= 0
+    np.testing.assert_allclose(
+        dxl2_np[valid], np.asarray(dxl1)[sb.lm_perm[valid]], atol=1e-9
+    )
+
+    # full jitted LM runs under the mesh and matches the single-chip chi2
+    s1, st1 = jax.jit(lambda s: lm_optimize(single, s, 3, lambda_init=1.0))(state0)
+    run = jax.jit(lambda s: lm_optimize(sharded, s, 3, lambda_init=1.0))
+    s2, st2 = run(sb.state0)
+    np.testing.assert_allclose(float(st2.chi2), float(st1.chi2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T), atol=1e-9)
