@@ -193,55 +193,106 @@ def make_local_ba_problem(
     Ts = np.stack(Ts)
     vs = np.stack(vs)
 
-    # landmarks: sprinkled ahead of trajectory keyframes
+    # landmarks: sprinkled ahead of trajectory keyframes (vectorized)
     anchor = rng.randint(0, n_kf, n_lm)
-    X = np.zeros((n_lm, 3))
-    for l in range(n_lm):
-        Twc = Ts[anchor[l]] @ Tbc[-1]
-        Xc = np.array([rng.uniform(-4, 4), rng.uniform(-2.5, 2.5), rng.uniform(5, 25)])
-        X[l] = Twc[:3, :3] @ Xc + Twc[:3, 3]
+    Xc0 = np.stack(
+        [
+            rng.uniform(-4, 4, n_lm),
+            rng.uniform(-2.5, 2.5, n_lm),
+            rng.uniform(5, 25, n_lm),
+        ],
+        axis=1,
+    )
+    Twc_anchor = Ts[anchor] @ Tbc[-1]
+    X = np.einsum("lij,lj->li", Twc_anchor[:, :3, :3], Xc0) + Twc_anchor[:, :3, 3]
 
-    def project(Twb, Tbc_c, K_c, Xw):
-        Twc = Twb @ Tbc_c
-        Xc = np.linalg.inv(Twc)[:3] @ np.append(Xw, 1.0)
-        if Xc[2] <= 0.2:
-            return None, Xc
-        u = K_c[0] * Xc[0] / Xc[2] + K_c[2]
-        v = K_c[1] * Xc[1] / Xc[2] + K_c[3]
-        return np.array([u, v]), Xc
+    def rigid_inv(T):
+        """Batched rigid inverse of (...,4,4)."""
+        R = T[..., :3, :3]
+        t = T[..., :3, 3]
+        Ti = np.zeros_like(T)
+        Ti[..., :3, :3] = np.swapaxes(R, -1, -2)
+        Ti[..., :3, 3] = -np.einsum("...ji,...j->...i", R, t)
+        Ti[..., 3, 3] = 1.0
+        return Ti
 
-    def pose_at(t):
-        k = min(int(np.floor(t / kf_dt)), n_kf - 2)
-        s = t - times[k]
-        return Ts[k] @ _np_exp_se3(vs[k] * s)
+    # ---- stereo-cam KF observations: window of KFs around each anchor
+    w2 = obs_per_lm // 2
+    offs = np.arange(-w2, w2 + 1)
+    k_mat = anchor[:, None] + offs[None, :]            # (L,W)
+    in_range = (k_mat >= 0) & (k_mat < n_kf)
+    k_clip = np.clip(k_mat, 0, n_kf - 1)
+    Tcw = rigid_inv(Ts[k_clip] @ Tbc[-1])              # (L,W,4,4)
+    Xc = np.einsum("lwij,lj->lwi", Tcw[..., :3, :3], X) + Tcw[..., :3, 3]
+    vis = in_range & (Xc[..., 2] > 0.2)
+    u = K[-1, 0] * Xc[..., 0] / Xc[..., 2] + K[-1, 2]
+    v = K[-1, 1] * Xc[..., 1] / Xc[..., 2] + K[-1, 3]
+    is_st_mat = rng.rand(n_lm, offs.size) < 0.7
+    ur = np.where(
+        is_st_mat, u - bf / Xc[..., 2] + rng.randn(n_lm, offs.size) * noise_px, -1.0
+    )
+    lm_mat = np.broadcast_to(np.arange(n_lm)[:, None], k_mat.shape)
+    sel = vis.ravel()
+    st = np.stack(
+        [
+            k_clip.ravel()[sel],
+            lm_mat.ravel()[sel],
+            (u + rng.randn(n_lm, offs.size) * noise_px).ravel()[sel],
+            (v + rng.randn(n_lm, offs.size) * noise_px).ravel()[sel],
+            ur.ravel()[sel],
+            is_st_mat.ravel()[sel].astype(float),
+        ],
+        axis=1,
+    )
 
-    mg, sg, st = [], [], []
-    for l in range(n_lm):
-        # stereo-cam KF observations around the anchor keyframe
-        for k in range(max(0, anchor[l] - obs_per_lm // 2),
-                       min(n_kf, anchor[l] + obs_per_lm // 2 + 1)):
-            uv, Xc = project(Ts[k], Tbc[-1], K[-1], X[l])
-            if uv is None:
-                continue
-            is_st = rng.rand() < 0.7
-            ur = uv[0] - bf / Xc[2] + rng.randn() * noise_px if is_st else -1.0
-            st.append((k, l, uv[0] + rng.randn() * noise_px,
-                       uv[1] + rng.randn() * noise_px, ur, is_st))
-        # async-camera GP observations on pairs (k-1, k)
-        for _ in range(gpobs_per_lm):
-            k = anchor[l]
-            if k == 0:
-                continue
-            c = rng.randint(0, n_cams - 1)
-            t = rng.uniform(times[k - 1] + 0.05, times[k] - 0.05)
-            uv, Xc = project(pose_at(t), Tbc[c], K[c], X[l])
-            if uv is None:
-                continue
-            mg.append((k - 1, k, l, c, t,
-                       uv[0] + rng.randn() * noise_px, uv[1] + rng.randn() * noise_px))
+    # ---- async-camera GP observations on pairs (anchor-1, anchor)
+    rep = np.repeat(np.arange(n_lm), gpobs_per_lm)
+    kk = anchor[rep]
+    okm = kk > 0
+    rep, kk = rep[okm], kk[okm]
+    M = rep.size
+    cc = rng.randint(0, n_cams - 1, M)
+    tt = times[kk - 1] + 0.05 + rng.rand(M) * (times[kk] - times[kk - 1] - 0.1)
+    # batched exp_se3 via Rodrigues for the intra-interval pose
+    xi = vs[kk - 1] * (tt - times[kk - 1])[:, None]
+    rho, om = xi[:, :3], xi[:, 3:]
+    th2 = np.sum(om * om, axis=1)
+    th = np.sqrt(np.maximum(th2, 1e-32))
+    A_ = np.where(th2 > 1e-16, np.sin(th) / th, 1.0)
+    B_ = np.where(th2 > 1e-16, (1 - np.cos(th)) / np.maximum(th2, 1e-32), 0.5)
+    C_ = np.where(th2 > 1e-16, (th - np.sin(th)) / np.maximum(th2 * th, 1e-32), 1 / 6)
+    zeros = np.zeros(M)
+    Wx = np.stack(
+        [
+            np.stack([zeros, -om[:, 2], om[:, 1]], 1),
+            np.stack([om[:, 2], zeros, -om[:, 0]], 1),
+            np.stack([-om[:, 1], om[:, 0], zeros], 1),
+        ],
+        axis=1,
+    )
+    Wx2 = np.einsum("mij,mjk->mik", Wx, Wx)
+    I3 = np.eye(3)[None]
+    Rm = I3 + A_[:, None, None] * Wx + B_[:, None, None] * Wx2
+    Jl = I3 + B_[:, None, None] * Wx + C_[:, None, None] * Wx2
+    tm = np.einsum("mij,mj->mi", Jl, rho)
+    Texp = np.zeros((M, 4, 4))
+    Texp[:, :3, :3] = Rm
+    Texp[:, :3, 3] = tm
+    Texp[:, 3, 3] = 1.0
+    Twb_t = np.einsum("mij,mjk->mik", Ts[kk - 1], Texp)
+    Tcw_m = rigid_inv(np.einsum("mij,mjk->mik", Twb_t, Tbc[cc]))
+    Xcm = np.einsum("mij,mj->mi", Tcw_m[:, :3, :3], X[rep]) + Tcw_m[:, :3, 3]
+    vism = Xcm[:, 2] > 0.2
+    um = K[cc, 0] * Xcm[:, 0] / Xcm[:, 2] + K[cc, 2] + rng.randn(M) * noise_px
+    vm = K[cc, 1] * Xcm[:, 1] / Xcm[:, 2] + K[cc, 3] + rng.randn(M) * noise_px
+    mg = np.stack(
+        [kk - 1, kk, rep, cc, tt, um, vm], axis=1
+    )[vism]
 
-    mg = np.array(mg) if mg else np.zeros((0, 7))
-    st = np.array(st) if st else np.zeros((0, 6))
+    if mg.size == 0:
+        mg = np.zeros((0, 7))
+    if st.size == 0:
+        st = np.zeros((0, 6))
     Em, Es = len(mg), len(st)
 
     qi_inv_one = np.zeros((12, 12))
