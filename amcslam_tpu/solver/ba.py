@@ -533,3 +533,20 @@ def local_gp_ba(
         erase_sg=erase_sg,
         erase_st=erase_st,
     )
+
+
+def global_ba(data: LocalBAData, state: BAState, num_iterations: int = 10):
+    """Full-map bundle adjustment (`Optimizer::GlobalBundleAdjustemnt` [sic]
+    -> BundleAdjustment, Optimizer.cc:53-367): same edge types as LocalGPBA
+    but over every keyframe with only the first fixed, the GP chain robustified
+    with Huber delta=21.026 (set data.gp_huber=True), landmarks marginalized,
+    lambda_0 = 1e-5 (Optimizer.cc:76). Typically invoked from loop closing
+    (`RunGlobalBundleAdjustment`, LoopClosing.cc:1206-1221) with 10 iterations.
+
+    Returns (state', LMStats). Unlike LocalGPBA there is no divergence guard:
+    results are staged by the caller (mTbwGBA semantics live in the pipeline).
+    """
+    problem = make_ba_problem(
+        data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True
+    )
+    return lm_optimize(problem, state, num_iterations, lambda_init=1e-5)
