@@ -88,12 +88,13 @@ def shard_ba_data(data: LocalBAData, state: BAState, n_shards: int) -> ShardedBA
 
     (mg_arrs, mg_valid, mg_lm) = shard_edges(
         data.mg_lm,
-        [data.mg_pair, data.mg_cam, data.mg_t, data.mg_obs, data.mg_w, data.mg_close],
+        [data.mg_pair, data.mg_cam, data.mg_t, data.mg_obs, data.mg_w,
+         data.mg_close, data.mg_sid],
         data.mg_valid,
     )
     (sg_arrs, sg_valid, sg_lm) = shard_edges(
         data.sg_lm,
-        [data.sg_pair, data.sg_t, data.sg_obs, data.sg_w],
+        [data.sg_pair, data.sg_t, data.sg_obs, data.sg_w, data.sg_sid],
         data.sg_valid,
     )
     (st_arrs, st_valid, st_lm) = shard_edges(
@@ -122,12 +123,14 @@ def shard_ba_data(data: LocalBAData, state: BAState, n_shards: int) -> ShardedBA
         mg_obs=jnp.asarray(mg_arrs[3], dtype),
         mg_w=jnp.asarray(mg_arrs[4], dtype),
         mg_close=jnp.asarray(mg_arrs[5]),
+        mg_sid=jnp.asarray(mg_arrs[6], jnp.int32),
         mg_valid=jnp.asarray(mg_valid),
         mg_lm=jnp.asarray(mg_lm, jnp.int32),
         sg_pair=jnp.asarray(sg_arrs[0], jnp.int32),
         sg_t=jnp.asarray(sg_arrs[1], dtype),
         sg_obs=jnp.asarray(sg_arrs[2], dtype),
         sg_w=jnp.asarray(sg_arrs[3], dtype),
+        sg_sid=jnp.asarray(sg_arrs[4], jnp.int32),
         sg_valid=jnp.asarray(sg_valid),
         sg_lm=jnp.asarray(sg_lm, jnp.int32),
         st_pose=jnp.asarray(st_arrs[0], jnp.int32),
@@ -146,7 +149,7 @@ def _shard_fields(n_shards):
     """Which LocalBAData fields are sharded along their leading axis."""
     return {
         "mg_pair", "mg_lm", "mg_cam", "mg_t", "mg_obs", "mg_w", "mg_valid",
-        "mg_close", "sg_pair", "sg_lm", "sg_t", "sg_obs", "sg_w", "sg_valid",
+        "mg_close", "mg_sid", "sg_pair", "sg_lm", "sg_t", "sg_obs", "sg_w", "sg_valid", "sg_sid",
         "st_pose", "st_lm", "st_obs", "st_w", "st_valid", "st_is_stereo",
         "st_close",
     }

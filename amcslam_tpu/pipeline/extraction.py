@@ -1,0 +1,318 @@
+"""Map-store -> device-solver problem extraction (and write-back).
+
+The SoA "graph builder": walks the host map exactly the way the reference's
+Optimizer entry points walk theirs (temporal window via prev_kf, fixed
+covisible anchors, per-observation edges by camera type) and emits the
+padded, statically shaped LocalBAData / PoseGPData instances the jitted
+solvers consume. Padding is bucketed to powers of two so window-size jitter
+does not recompile the solver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..solver.ba import BAState, LocalBAData
+from ..solver.pose_solver import PoseGPData, PoseState
+from .map_store import Frame, KeyFrame, Map
+from .rig import Rig
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad(arr, n, fill=0):
+    arr = np.asarray(arr)
+    if arr.shape[0] >= n:
+        return arr[:n]
+    width = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, width, constant_values=fill)
+
+
+def extract_local_ba(
+    kf: KeyFrame,
+    mp_table: dict,
+    rig: Rig,
+    max_opt: int = 10,
+    max_fixed: int = 50,
+    dtype=jnp.float32,
+):
+    """Build a LocalGPBA window around `kf` (Optimizer.cc:713-1036 walk).
+
+    Returns (data: LocalBAData, state: BAState, handles) where handles maps
+    solver array slots back to map entities for write-back.
+    """
+    # --- temporal window via prev_kf chain
+    window: list[KeyFrame] = [kf]
+    while len(window) < max_opt and window[-1].prev_kf is not None:
+        window.append(window[-1].prev_kf)
+    window_ids = {k.id for k in window}
+
+    # --- landmarks seen by the window
+    lms: list = []
+    lm_slot: dict[int, int] = {}
+    for k in window:
+        for mp_id in k.matches:
+            if mp_id < 0 or int(mp_id) in lm_slot:
+                continue
+            mp = mp_table.get(int(mp_id))
+            if mp is None or mp.bad:
+                continue
+            lm_slot[int(mp_id)] = len(lms)
+            lms.append(mp)
+
+    # --- fixed anchors: prev of the oldest window KF + covisible KFs
+    fixed: list[KeyFrame] = []
+    fixed_ids = set()
+    tail_prev = window[-1].prev_kf
+    if tail_prev is not None:
+        fixed.append(tail_prev)
+        fixed_ids.add(tail_prev.id)
+    for mp in lms:
+        for kf_id in mp.observations:
+            if kf_id in window_ids or kf_id in fixed_ids:
+                continue
+            other = _kf_by_id(window[0], kf_id)
+            if other is not None and not other.bad:
+                fixed.append(other)
+                fixed_ids.add(kf_id)
+            if len(fixed) >= max_fixed:
+                break
+        if len(fixed) >= max_fixed:
+            break
+
+    kfs = window + fixed  # index order: optimizable first
+    kf_slot = {k.id: i for i, k in enumerate(kfs)}
+    K = len(kfs)
+    n_opt = len(window)
+
+    # --- pose-level arrays
+    times = np.array([k.timestamp for k in kfs])
+    pose_fixed = np.arange(K) >= n_opt
+    vel_valid = ~pose_fixed
+
+    # GP chain: consecutive temporal pairs among [tail_prev?] + window
+    chain = list(reversed(window))
+    if tail_prev is not None:
+        chain = [tail_prev] + chain
+    gp_pairs = []
+    for a, b in zip(chain[:-1], chain[1:]):
+        gp_pairs.append((kf_slot[a.id], kf_slot[b.id]))
+    gp_pairs = np.array(gp_pairs, np.int64).reshape(-1, 2)
+    gp_dts = times[gp_pairs[:, 1]] - times[gp_pairs[:, 0]]
+    gp_qi_inv = np.stack([rig.qi_inv(dt) for dt in gp_dts]) if len(gp_dts) else np.zeros((0, 12, 12))
+
+    # --- observation edges
+    mg, sg, st = [], [], []
+    for k in kfs:
+        s = kf_slot[k.id]
+        for gidx, mp_id in enumerate(k.matches):
+            if mp_id < 0 or int(mp_id) not in lm_slot:
+                continue
+            l = lm_slot[int(mp_id)]
+            cam, local = k.cam_of_global(gidx)
+            uv = k.keypoints[cam][local]
+            w = rig.inv_sigma2(k.kp_octaves[cam][local])
+            if cam == rig.n_cams - 1:
+                ur = k.kp_ur[local] if k.kp_ur is not None else -1.0
+                st.append((s, l, uv[0], uv[1], ur, w, ur >= 0))
+            else:
+                # async camera: GP edge on the (prev, this) pose pair
+                if k.prev_kf is not None and k.prev_kf.id in kf_slot:
+                    i = kf_slot[k.prev_kf.id]
+                    t = k.cam_times[cam]
+                    mg.append((i, s, l, cam, t, uv[0], uv[1], w))
+        # non-keyframe GPObs records attached to this KF's interval
+        # (BundleAdjustment/LocalGPBA consume them against (KF, nextKF))
+    for mp in lms:
+        l = lm_slot[mp.id]
+        for kf_id, obs in mp.gp_observations:
+            if kf_id not in kf_slot:
+                continue
+            k = _kf_by_id(window[0], kf_id)
+            if k is None or k.next_kf is None or k.next_kf.id not in kf_slot:
+                continue
+            i, j = kf_slot[kf_id], kf_slot[k.next_kf.id]
+            w = rig.inv_sigma2(obs.octave)
+            if obs.cam == rig.n_cams - 1 and obs.ur >= 0:
+                sg.append((i, j, l, obs.time, obs.uv[0], obs.uv[1], obs.ur, w))
+            else:
+                mg.append((i, j, l, obs.cam, obs.time, obs.uv[0], obs.uv[1], w))
+
+    Em, Eg, Es = _bucket(max(len(mg), 1)), _bucket(max(len(sg), 1)), _bucket(max(len(st), 1))
+    mg_a = np.array(mg) if mg else np.zeros((0, 8))
+    sg_a = np.array(sg) if sg else np.zeros((0, 8))
+    st_a = np.array(st) if st else np.zeros((0, 7))
+
+    Cx = rig.n_cams - 1
+    from ..solver.ba import make_structure_ids
+
+    mg_sid, mg_sid_cols = make_structure_ids(
+        _pad(mg_a[:, :2], Em), _pad(mg_a[:, 3], Em) if mg_a.size else np.zeros(Em),
+        _pad(np.ones(len(mg), bool), Em, False), K, Cx,
+    )
+    sg_sid, sg_sid_cols = make_structure_ids(
+        _pad(sg_a[:, :2], Eg), None,
+        _pad(np.ones(len(sg), bool), Eg, False), K, Cx,
+    )
+    data = LocalBAData(
+        times=jnp.asarray(times, dtype),
+        pose_fixed=jnp.asarray(pose_fixed),
+        vel_valid=jnp.asarray(vel_valid),
+        qcinv22=jnp.asarray(rig.qc_inv_diag[2], dtype),
+        gp_pairs=jnp.asarray(_pad(gp_pairs, max(len(gp_pairs), 1)), jnp.int32),
+        gp_qi_inv=jnp.asarray(_pad(gp_qi_inv, max(len(gp_pairs), 1)), dtype),
+        gp_valid=jnp.asarray(_pad(np.ones(len(gp_pairs), bool), max(len(gp_pairs), 1), False)),
+        gp_huber=jnp.asarray(False),
+        Tbc_stereo=jnp.asarray(rig.Tbc[-1], dtype),
+        K_stereo=jnp.asarray(rig.K[-1], dtype),
+        bf=jnp.asarray(rig.bf, dtype),
+        K_async=jnp.asarray(rig.K[:Cx], dtype),
+        ext_fixed=jnp.ones(Cx, bool),
+        R_prior=jnp.asarray(rig.Tbc[:Cx, :3, :3], dtype),
+        ext_info=jnp.asarray(np.tile(np.eye(3) * 1e6, (Cx, 1, 1)), dtype),
+        mg_pair=jnp.asarray(_pad(mg_a[:, :2], Em), jnp.int32),
+        mg_lm=jnp.asarray(_pad(mg_a[:, 2], Em), jnp.int32),
+        mg_cam=jnp.asarray(_pad(mg_a[:, 3], Em), jnp.int32),
+        mg_t=jnp.asarray(_pad(mg_a[:, 4], Em), dtype),
+        mg_obs=jnp.asarray(_pad(mg_a[:, 5:7], Em), dtype),
+        mg_w=jnp.asarray(_pad(mg_a[:, 7] if mg_a.size else np.zeros(0), Em), dtype),
+        mg_valid=jnp.asarray(_pad(np.ones(len(mg), bool), Em, False)),
+        mg_close=jnp.asarray(np.zeros(Em, bool)),
+        mg_sid=jnp.asarray(mg_sid),
+        mg_sid_cols=jnp.asarray(mg_sid_cols),
+        sg_pair=jnp.asarray(_pad(sg_a[:, :2], Eg), jnp.int32),
+        sg_lm=jnp.asarray(_pad(sg_a[:, 2], Eg), jnp.int32),
+        sg_t=jnp.asarray(_pad(sg_a[:, 3], Eg), dtype),
+        sg_obs=jnp.asarray(_pad(sg_a[:, 4:7], Eg), dtype),
+        sg_w=jnp.asarray(_pad(sg_a[:, 7] if sg_a.size else np.zeros(0), Eg), dtype),
+        sg_valid=jnp.asarray(_pad(np.ones(len(sg), bool), Eg, False)),
+        sg_sid=jnp.asarray(sg_sid),
+        sg_sid_cols=jnp.asarray(sg_sid_cols),
+        st_pose=jnp.asarray(_pad(st_a[:, 0], Es), jnp.int32),
+        st_lm=jnp.asarray(_pad(st_a[:, 1], Es), jnp.int32),
+        st_obs=jnp.asarray(_pad(st_a[:, 2:5], Es), dtype),
+        st_w=jnp.asarray(_pad(st_a[:, 5] if st_a.size else np.zeros(0), Es), dtype),
+        st_valid=jnp.asarray(_pad(np.ones(len(st), bool), Es, False)),
+        st_is_stereo=jnp.asarray(_pad(st_a[:, 6] if st_a.size else np.zeros(0), Es).astype(bool)),
+        st_close=jnp.asarray(np.zeros(Es, bool)),
+    )
+
+    L = _bucket(max(len(lms), 1))
+    X = _pad(np.stack([mp.position for mp in lms]) if lms else np.zeros((0, 3)), L)
+    state = BAState(
+        T=jnp.asarray(np.stack([k.Twb for k in kfs]), dtype),
+        v=jnp.asarray(np.stack([k.velocity for k in kfs]), dtype),
+        Text=jnp.asarray(rig.Tbc[:Cx], dtype),
+        X=jnp.asarray(X, dtype),
+    )
+    handles = {
+        "kfs": kfs,
+        "n_opt": n_opt,
+        "lms": lms,
+        "mg_refs": mg,
+        "st_refs": st,
+        "sg_refs": sg,
+    }
+    return data, state, handles
+
+
+def _kf_by_id(any_kf: KeyFrame, kf_id: int):
+    """Resolve a keyframe id by walking the temporal chain both ways (the
+    map object usually resolves this; chain walk keeps extraction decoupled)."""
+    k = any_kf
+    while k is not None:
+        if k.id == kf_id:
+            return k
+        k = k.prev_kf
+    k = any_kf
+    while k is not None:
+        if k.id == kf_id:
+            return k
+        k = k.next_kf
+    return None
+
+
+def apply_local_ba(result_state: BAState, handles, mp_table: dict):
+    """Write optimized poses/velocities/landmarks back (Optimizer.cc:1385-1428)."""
+    T = np.asarray(result_state.T)
+    v = np.asarray(result_state.v)
+    X = np.asarray(result_state.X)
+    for i in range(handles["n_opt"]):
+        kf = handles["kfs"][i]
+        kf.set_pose(T[i])
+        kf.velocity = v[i]
+    for l, mp in enumerate(handles["lms"]):
+        mp.position = X[l]
+
+
+def extract_pose_problem(
+    frame: Frame,
+    prev_frame: Frame,
+    mp_table: dict,
+    rig: Rig,
+    fix_prev: bool = True,
+    dtype=jnp.float32,
+):
+    """Build the per-frame PoseGPData (Optimizer::PoseGPOptimizationFromeLastFrame
+    walk, Optimizer.cc:418-546). Returns (data, state, handles)."""
+    mg, st = [], []
+    mg_idx, st_idx = [], []
+    for gidx, mp_id in enumerate(frame.matches):
+        if mp_id < 0:
+            continue
+        mp = mp_table.get(int(mp_id))
+        if mp is None or mp.bad:
+            continue
+        cam, local = frame.cam_of_global(gidx)
+        uv = frame.keypoints[cam][local]
+        w = rig.inv_sigma2(frame.kp_octaves[cam][local])
+        if cam != rig.n_cams - 1:
+            mg.append((*mp.position, frame.cam_times[cam], cam, uv[0], uv[1], w))
+            mg_idx.append(gidx)
+        else:
+            ur = frame.kp_ur[local] if frame.kp_ur is not None else -1.0
+            st.append((*mp.position, uv[0], uv[1], ur, w, ur >= 0))
+            st_idx.append(gidx)
+
+    Nm, Ns = _bucket(max(len(mg), 1)), _bucket(max(len(st), 1))
+    mg_a = np.array(mg) if mg else np.zeros((0, 8))
+    st_a = np.array(st) if st else np.zeros((0, 8))
+
+    dt = frame.timestamp - prev_frame.timestamp
+    data = PoseGPData(
+        t_prev=jnp.asarray(prev_frame.timestamp, dtype),
+        t_cur=jnp.asarray(frame.timestamp, dtype),
+        qi_inv=jnp.asarray(rig.qi_inv(dt), dtype),
+        qcinv22=jnp.asarray(rig.qc_inv_diag[2], dtype),
+        fix_prev=jnp.asarray(fix_prev),
+        Tbc=jnp.asarray(rig.Tbc, dtype),
+        K=jnp.asarray(rig.K, dtype),
+        bf=jnp.asarray(rig.bf, dtype),
+        mg_obs=jnp.asarray(_pad(mg_a[:, 5:7], Nm), dtype),
+        mg_Xw=jnp.asarray(_pad(mg_a[:, 0:3], Nm), dtype),
+        mg_t=jnp.asarray(_pad(mg_a[:, 3], Nm), dtype),
+        mg_cam=jnp.asarray(_pad(mg_a[:, 4], Nm), jnp.int32),
+        mg_w=jnp.asarray(_pad(mg_a[:, 7] if mg_a.size else np.zeros(0), Nm), dtype),
+        mg_valid=jnp.asarray(_pad(np.ones(len(mg), bool), Nm, False)),
+        mg_close=jnp.asarray(np.zeros(Nm, bool)),
+        st_obs=jnp.asarray(_pad(st_a[:, 3:6], Ns), dtype),
+        st_Xw=jnp.asarray(_pad(st_a[:, 0:3], Ns), dtype),
+        st_w=jnp.asarray(_pad(st_a[:, 6] if st_a.size else np.zeros(0), Ns), dtype),
+        st_valid=jnp.asarray(_pad(np.ones(len(st), bool), Ns, False)),
+        st_is_stereo=jnp.asarray(_pad(st_a[:, 7] if st_a.size else np.zeros(0), Ns).astype(bool)),
+        st_close=jnp.asarray(np.zeros(Ns, bool)),
+    )
+    state = PoseState(
+        T=jnp.asarray(np.stack([prev_frame.Twb, frame.Twb]), dtype),
+        v=jnp.asarray(np.stack([prev_frame.velocity, frame.velocity]), dtype),
+    )
+    handles = {"mg_idx": np.array(mg_idx, np.int64), "st_idx": np.array(st_idx, np.int64),
+               "Nm": Nm, "Ns": Ns, "n_mg": len(mg), "n_st": len(st)}
+    return data, state, handles

@@ -1,0 +1,247 @@
+"""Local mapping (rebuild of src/LocalMapping.cc Run loop).
+
+Sequential (or caller-threaded) consumer of new keyframes:
+  ProcessNewKeyFrame -> MapPointCulling -> CreateNewMapPoints (epipolar
+  search + batched DLT triangulation on device) -> SearchInNeighbors (fuse)
+  -> LocalGPBA (the jitted Schur solver via extraction) -> pass to loop
+  closing. KeyFrameCulling stays disabled, as in the reference — culling
+  would break the temporal GP chain (LocalMapping.cc:160-162).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend.cameras import triangulate_dlt
+from ..solver.ba import local_gp_ba
+from . import matcher
+from .extraction import apply_local_ba, extract_local_ba
+from .map_store import KeyFrame, Map, MapPoint
+from .rig import Rig
+
+
+class LocalMapping:
+    def __init__(self, rig: Rig, map_: Map, b_extrinsic: bool = False,
+                 loop_closer=None):
+        self.rig = rig
+        self.map = map_
+        self.b_extrinsic = b_extrinsic
+        self.loop_closer = loop_closer
+        self.recent_points: list[MapPoint] = []
+        self.queue: list[KeyFrame] = []
+        self._ba = jax.jit(
+            lambda d, s: local_gp_ba(d, s, b_large=False, b_extrinsic=b_extrinsic)
+        )
+
+    def insert_keyframe(self, kf: KeyFrame):
+        self.queue.append(kf)
+
+    def run_once(self) -> bool:
+        """One LocalMapping::Run iteration; returns False when idle."""
+        if not self.queue:
+            return False
+        kf = self.queue.pop(0)
+        self.process_new_keyframe(kf)
+        self.cull_map_points(kf)
+        self.create_new_map_points(kf)
+        self.fuse_neighbors(kf)
+        if self.map.n_keyframes() > 2:
+            self.local_ba(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf)
+        return True
+
+    # ------------------------------------------------------------------
+    def process_new_keyframe(self, kf: KeyFrame):
+        """LocalMapping::ProcessNewKeyFrame (:225): observation registration
+        happens at creation; refresh covisibility and track recent points."""
+        kf.update_connections(self.map.map_points)
+        for mp_id in kf.matches:
+            if mp_id < 0:
+                continue
+            mp = self.map.map_points.get(int(mp_id))
+            if mp is not None and mp.first_kf_id == kf.id:
+                self.recent_points.append(mp)
+
+    def cull_map_points(self, kf: KeyFrame):
+        """LocalMapping::MapPointCulling (:273): found-ratio < 0.25 or too few
+        observations within 2 KFs of creation."""
+        keep = []
+        for mp in self.recent_points:
+            if mp.bad:
+                continue
+            if mp.found_ratio() < 0.25:
+                self.map.erase_map_point(mp)
+            elif kf.id - mp.first_kf_id >= 2 and mp.n_obs() <= 2:
+                self.map.erase_map_point(mp)
+            elif kf.id - mp.first_kf_id >= 3:
+                pass  # survived probation
+            else:
+                keep.append(mp)
+        self.recent_points = keep
+
+    # ------------------------------------------------------------------
+    def create_new_map_points(self, kf: KeyFrame, n_neighbors: int = 10):
+        """LocalMapping::CreateNewMapPoints (:311): epipolar-gated descriptor
+        matching against covisible + temporal neighbors, then one batched DLT
+        triangulation for all candidate pairs."""
+        neighbors = [
+            self.map.keyframes[i]
+            for i in kf.best_covisible(n_neighbors)
+            if i in self.map.keyframes
+        ]
+        if kf.prev_kf is not None and kf.prev_kf not in neighbors:
+            neighbors.append(kf.prev_kf)
+
+        cam = self.rig.n_cams - 1  # stereo/reference camera epipolar search
+        K4 = self.rig.K[cam]
+        Km = np.array([[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1.0]])
+        Twc1 = kf.Twb @ self.rig.Tbc[cam]
+        Tcw1 = np.linalg.inv(Twc1)
+        kp1 = kf.keypoints[cam]
+        d1 = kf.descriptors[cam]
+        free1 = np.array([
+            kf.matches[kf.global_index(cam, i)] < 0 for i in range(len(kp1))
+        ]) if len(kp1) else np.zeros(0, bool)
+
+        tri_r1, tri_r2, tri_T1, tri_T2, tri_meta = [], [], [], [], []
+        for nb in neighbors:
+            Twc2 = nb.Twb @ self.rig.Tbc[cam]
+            Tcw2 = np.linalg.inv(Twc2)
+            baseline = np.linalg.norm(Twc2[:3, 3] - Twc1[:3, 3])
+            if baseline < 0.05:
+                continue
+            # fundamental matrix F12 from relative pose (ComputeF12)
+            T12 = Tcw1 @ Twc2
+            R12, t12 = T12[:3, :3], T12[:3, 3]
+            tx = np.array(
+                [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]]
+            )
+            Kinv = np.linalg.inv(Km)
+            F12 = Kinv.T @ tx @ R12 @ Kinv
+            kp2 = nb.keypoints[cam]
+            d2 = nb.descriptors[cam]
+            if len(kp1) == 0 or len(kp2) == 0:
+                continue
+            idx2 = matcher.search_for_triangulation(kp1, d1, kp2, d2, F12.T)
+            for i1, i2 in enumerate(idx2):
+                if i2 < 0 or not free1[i1]:
+                    continue
+                g2 = nb.global_index(cam, int(i2))
+                if nb.matches[g2] >= 0:
+                    continue
+                r1 = np.linalg.inv(Km) @ np.append(kp1[i1], 1.0)
+                r2 = np.linalg.inv(Km) @ np.append(kp2[int(i2)], 1.0)
+                tri_r1.append(r1 / r1[2])
+                tri_r2.append(r2 / r2[2])
+                tri_T1.append(Tcw1)
+                tri_T2.append(Tcw2)
+                tri_meta.append((i1, nb, int(i2)))
+
+        if not tri_r1:
+            return 0
+        X, w = jax.vmap(triangulate_dlt)(
+            jnp.asarray(np.stack(tri_r1)), jnp.asarray(np.stack(tri_r2)),
+            jnp.asarray(np.stack(tri_T1)), jnp.asarray(np.stack(tri_T2)),
+        )
+        X = np.asarray(X)
+        w = np.asarray(w)
+        created = 0
+        for n, (i1, nb, i2) in enumerate(tri_meta):
+            if not np.isfinite(X[n]).all():
+                continue
+            # cheirality in both views
+            z1 = (Tcw1[:3, :3] @ X[n] + Tcw1[:3, 3])[2]
+            Tcw2 = tri_T2[n]
+            z2 = (Tcw2[:3, :3] @ X[n] + Tcw2[:3, 3])[2]
+            if z1 <= 0 or z2 <= 0 or abs(w[n]) < 1e-9:
+                continue
+            g1 = kf.global_index(cam, i1)
+            if kf.matches[g1] >= 0:
+                continue
+            mp = MapPoint(position=X[n], descriptor=d1[i1], first_kf_id=kf.id)
+            mp.add_observation(kf, cam, g1)
+            mp.add_observation(nb, cam, nb.global_index(cam, i2))
+            kf.matches[g1] = mp.id
+            nb.matches[nb.global_index(cam, i2)] = mp.id
+            self.map.add_map_point(mp)
+            self.recent_points.append(mp)
+            created += 1
+        return created
+
+    # ------------------------------------------------------------------
+    def fuse_neighbors(self, kf: KeyFrame):
+        """LocalMapping::SearchInNeighbors (:593): project this KF's points
+        into neighbors and merge duplicates (keep the more-observed point)."""
+        neighbors = [
+            self.map.keyframes[i]
+            for i in kf.best_covisible(10)
+            if i in self.map.keyframes
+        ]
+        cam = self.rig.n_cams - 1
+        mps = [
+            self.map.map_points[int(i)]
+            for i in kf.matches
+            if i >= 0 and int(i) in self.map.map_points
+        ]
+        if not mps:
+            return
+        pos = np.stack([mp.position for mp in mps])
+        desc = np.stack([
+            mp.descriptor if mp.descriptor is not None else np.zeros(32, np.uint8)
+            for mp in mps
+        ])
+        for nb in neighbors:
+            if len(nb.keypoints[cam]) == 0:
+                continue
+            Twc = nb.Twb @ self.rig.Tbc[cam]
+            Tcw = np.linalg.inv(Twc)
+            idx = matcher.search_by_projection(
+                pos, desc, nb.keypoints[cam], nb.descriptors[cam],
+                nb.kp_octaves[cam], Tcw, self.rig.K[cam], radius=3.0,
+                max_dist=matcher.TH_LOW,
+            )
+            for mi, ki in enumerate(idx):
+                if ki < 0:
+                    continue
+                g = nb.global_index(cam, int(ki))
+                other_id = nb.matches[g]
+                mp = mps[mi]
+                if other_id < 0:
+                    nb.matches[g] = mp.id
+                    mp.add_observation(nb, cam, g)
+                elif other_id != mp.id and int(other_id) in self.map.map_points:
+                    other = self.map.map_points[int(other_id)]
+                    # keep the better-observed one (ORBmatcher::Fuse)
+                    winner, loser = (mp, other) if mp.n_obs() >= other.n_obs() else (other, mp)
+                    for kf_id, slots in list(loser.observations.items()):
+                        okf = self.map.keyframes.get(kf_id)
+                        if okf is None:
+                            continue
+                        for c, gi in enumerate(slots):
+                            if gi >= 0:
+                                okf.matches[gi] = winner.id
+                                winner.add_observation(okf, c, int(gi))
+                    self.map.erase_map_point(loser)
+
+    # ------------------------------------------------------------------
+    def local_ba(self, kf: KeyFrame):
+        """Optimizer::LocalGPBA via extraction + jitted Schur solver."""
+        data, state, handles = extract_local_ba(
+            kf, self.map.map_points, self.rig
+        )
+        res = self._ba(data, state)
+        if bool(res.ok):
+            apply_local_ba(res.state, handles, self.map.map_points)
+            # erase outlier observations (EraseGPObservation/EraseObservation)
+            erase_st = np.asarray(res.erase_st)
+            for n, (s, l, *_rest) in enumerate(handles["st_refs"]):
+                if n < len(erase_st) and erase_st[n]:
+                    mp = handles["lms"][int(l)]
+                    kf_i = handles["kfs"][int(s)]
+                    cam = self.rig.n_cams - 1
+                    mp.erase_observation(kf_i, cam)
+            self.map.increase_change_index()

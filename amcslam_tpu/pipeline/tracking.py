@@ -1,0 +1,417 @@
+"""Tracking: the per-frame front-to-back loop (rebuild of src/Tracking.cc).
+
+State machine {NO_IMAGES_YET, NOT_INITIALIZED, OK, RECENTLY_LOST, LOST}
+(Tracking.h:128-136) with the MULTICAMERA flow of Tracking::Track
+(Tracking.cc:1066-1427):
+
+  stereo initialization -> TrackWithMotionModel (const-twist prediction, GP
+  per-camera pose interpolation, projection search, per-frame GP pose solve)
+  -> TrackLocalMap (local-map projection search + MC-RANSAC + pose solve)
+  -> motion-model update -> NeedNewKeyFrame / CreateNewKeyFrame with the
+  temporal prev/next chain and stereo-depth landmark seeding.
+
+Host code orchestrates; every numeric stage is a jitted device program:
+pose prediction + interpolation (ops.gp), matching (pipeline.matcher),
+MC-RANSAC (ransac.vel_ransac), the 4-round pose solve (solver.pose_solver).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import gp, lie
+from ..ransac.vel_ransac import VelRansacData, mc_ransac
+from ..solver.pose_solver import pose_gp_optimize
+from . import matcher
+from .extraction import extract_pose_problem
+from .map_store import Atlas, Frame, GPObs, KeyFrame, Map, MapPoint
+from .rig import Rig
+
+
+class TrackState(Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    RECENTLY_LOST = 3
+    LOST = 4
+
+
+def _np_exp_se3(xi):
+    return np.asarray(lie.exp_se3(jnp.asarray(xi, jnp.float64)))
+
+
+def _np_log_se3(T):
+    return np.asarray(lie.log_se3(jnp.asarray(T, jnp.float64)))
+
+
+def interp_camera_pose(T_prev, v_prev, t_prev, T_cur, v_cur, t_cur, t_cam):
+    """GP-interpolated body pose at an async camera's timestamp
+    (MultiFrame::UpdatePoseMatrices, Frame.cc:391-417)."""
+    eye = jnp.eye(6, dtype=jnp.float64)
+    return np.asarray(
+        gp.query_pose(
+            jnp.asarray(T_prev, jnp.float64), jnp.asarray(T_cur, jnp.float64),
+            jnp.asarray(v_prev, jnp.float64), jnp.asarray(v_cur, jnp.float64),
+            float(t_prev), float(t_cur), float(t_cam), eye, eye,
+        )
+    )
+
+
+@dataclass
+class TrackingConfig:
+    min_frames_between_kf: int = 0
+    max_frames_between_kf: int = 10
+    kf_translation_th: float = 2.0   # c3: |t| > 2 m (Tracking.cc:2085-2198)
+    kf_rotation_th: float = 0.08     # or |omega| > 0.08
+    min_track_matches: int = 10
+    min_local_matches: int = 30
+    ransac_max_it: int = 23
+    ransac_min_match: int = 30
+    ransac_threshold: float = 3.0
+    max_stereo_seed: int = 100       # stereo-depth landmark seeding cap
+    search_radius: float = 7.0
+
+
+class Tracking:
+    def __init__(self, rig: Rig, atlas: Atlas, config: TrackingConfig | None = None,
+                 local_mapper=None):
+        self.rig = rig
+        self.atlas = atlas
+        self.cfg = config or TrackingConfig()
+        self.state = TrackState.NO_IMAGES_YET
+        self.last_frame: Frame | None = None
+        self.last_kf: KeyFrame | None = None
+        self.velocity_model = np.zeros(6)  # relative twist between frames
+        self.frames_since_kf = 0
+        self.local_mapper = local_mapper
+        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self._rng = np.random.RandomState(0)
+
+    # ------------------------------------------------------------------
+    def grab_frame(self, frame: Frame) -> TrackState:
+        """Tracking::GrabImageMultiCam + Track (Tracking.cc:1018-1427)."""
+        m = self.atlas.active
+
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            if self.last_frame is not None and frame.timestamp < self.last_frame.timestamp:
+                self.atlas.create_new_map()
+            ok = self._stereo_initialization(frame)
+            self.state = TrackState.OK if ok else TrackState.NOT_INITIALIZED
+            self.last_frame = frame
+            self._record(frame)
+            return self.state
+
+        # --- TrackWithMotionModel (Tracking.cc:1822-1890)
+        self._predict(frame)
+        n = self._track_motion_model(frame)
+        if n < self.cfg.min_track_matches:
+            self.state = (
+                TrackState.RECENTLY_LOST if m.n_keyframes() > 10 else TrackState.LOST
+            )
+            self.last_frame = frame
+            self._record(frame)
+            return self.state
+
+        # --- TrackLocalMap (Tracking.cc:2004-2082)
+        n_local = self._track_local_map(frame)
+        self.state = TrackState.OK if n_local >= self.cfg.min_local_matches else (
+            TrackState.RECENTLY_LOST if m.n_keyframes() > 10 else TrackState.LOST
+        )
+
+        # motion model update: relative twist between consecutive frames
+        dt = frame.timestamp - self.last_frame.timestamp
+        rel = _np_log_se3(np.linalg.inv(self.last_frame.Twb) @ frame.Twb)
+        self.velocity_model = rel / max(dt, 1e-6)
+
+        if self.state == TrackState.OK and self._need_new_keyframe(frame):
+            self._create_keyframe(frame)
+        else:
+            self.frames_since_kf += 1
+
+        self.last_frame = frame
+        self._record(frame)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _record(self, frame: Frame):
+        self.trajectory.append((frame.timestamp, frame.Twb.copy()))
+
+    def _predict(self, frame: Frame):
+        """Constant-twist prediction (Tracking.cc:1833-1837)."""
+        dt = frame.timestamp - self.last_frame.timestamp
+        frame.Twb = self.last_frame.Twb @ _np_exp_se3(self.velocity_model * dt)
+        frame.velocity = self.velocity_model.copy()
+
+    def _camera_Tcw(self, frame: Frame, cam: int) -> np.ndarray:
+        """World-to-camera at this camera's timestamp."""
+        if cam == self.rig.n_cams - 1 or self.last_frame is None:
+            Twc = frame.Twb @ self.rig.Tbc[cam]
+        else:
+            Twb_t = interp_camera_pose(
+                self.last_frame.Twb, self.last_frame.velocity,
+                self.last_frame.timestamp, frame.Twb, frame.velocity,
+                frame.timestamp, frame.cam_times[cam],
+            )
+            Twc = Twb_t @ self.rig.Tbc[cam]
+        R = Twc[:3, :3].T
+        Tcw = np.eye(4)
+        Tcw[:3, :3] = R
+        Tcw[:3, 3] = -R @ Twc[:3, 3]
+        return Tcw
+
+    def _match_map_points(self, frame: Frame, mp_ids, radius):
+        """Project a set of map points into every camera and associate."""
+        m = self.atlas.active
+        mps = [m.map_points[i] for i in mp_ids if i in m.map_points and not m.map_points[i].bad]
+        if not mps:
+            return 0
+        pos = np.stack([mp.position for mp in mps])
+        desc = np.stack([
+            mp.descriptor if mp.descriptor is not None else np.zeros(32, np.uint8)
+            for mp in mps
+        ])
+        n_matched = 0
+        for cam in range(self.rig.n_cams):
+            if len(frame.keypoints[cam]) == 0:
+                continue
+            Tcw = self._camera_Tcw(frame, cam)
+            idx = matcher.search_by_projection(
+                pos, desc, frame.keypoints[cam], frame.descriptors[cam],
+                frame.kp_octaves[cam], Tcw, self.rig.K[cam],
+                radius=radius, scale_factors=self.rig.scale_factor ** np.arange(self.rig.n_levels),
+            )
+            for mi, ki in enumerate(idx):
+                if ki < 0:
+                    continue
+                g = frame.global_index(cam, int(ki))
+                if frame.matches[g] < 0:
+                    frame.matches[g] = mps[mi].id
+                    mps[mi].n_visible += 1
+                    n_matched += 1
+        return n_matched
+
+    def _track_motion_model(self, frame: Frame) -> int:
+        m = self.atlas.active
+        last_ids = set(int(i) for i in self.last_frame.matches if i >= 0)
+        self._match_map_points(frame, last_ids, self.cfg.search_radius)
+        n = self._pose_solve(frame)
+        return n
+
+    def _track_local_map(self, frame: Frame) -> int:
+        m = self.atlas.active
+        # local map: points of covisible keyframes of the current matches
+        kf_votes: dict[int, int] = {}
+        for mp_id in frame.matches:
+            if mp_id < 0:
+                continue
+            mp = m.map_points.get(int(mp_id))
+            if mp is None:
+                continue
+            for kf_id in mp.observations:
+                kf_votes[kf_id] = kf_votes.get(kf_id, 0) + 1
+        local_kfs = sorted(kf_votes, key=kf_votes.get, reverse=True)[:20]
+        local_points: set[int] = set()
+        for kf_id in local_kfs:
+            kf = m.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            local_points.update(int(i) for i in kf.matches if i >= 0)
+        already = set(int(i) for i in frame.matches if i >= 0)
+        self._match_map_points(frame, local_points - already, self.cfg.search_radius * 2)
+
+        # MC-RANSAC over async-camera matches (Tracking.cc:2029, 1939-2002)
+        self._mc_ransac(frame)
+        n = self._pose_solve(frame)
+        # bookkeeping: found counters
+        for g, mp_id in enumerate(frame.matches):
+            if mp_id >= 0 and not frame.outlier[g]:
+                mp = m.map_points.get(int(mp_id))
+                if mp is not None:
+                    mp.n_found += 1
+        return n
+
+    def _mc_ransac(self, frame: Frame):
+        m = self.atlas.active
+        idxs, rows = [], []
+        for g, mp_id in enumerate(frame.matches):
+            if mp_id < 0:
+                continue
+            mp = m.map_points.get(int(mp_id))
+            if mp is None or mp.bad:
+                continue
+            cam, local = frame.cam_of_global(g)
+            uv = frame.keypoints[cam][local]
+            w = self.rig.inv_sigma2(frame.kp_octaves[cam][local])
+            dtc = frame.cam_times[cam] - self.last_frame.timestamp
+            rows.append((*mp.position, dtc, cam, uv[0], uv[1], w))
+            idxs.append(g)
+        if len(rows) < self.cfg.ransac_min_match:
+            return
+        A = np.array(rows)
+        n = len(rows)
+        data = VelRansacData(
+            T_last=jnp.asarray(self.last_frame.Twb, jnp.float32),
+            v0=jnp.asarray(frame.velocity, jnp.float32),
+            dt=jnp.asarray(A[:, 3], jnp.float32),
+            Xw=jnp.asarray(A[:, :3], jnp.float32),
+            obs=jnp.asarray(A[:, 5:7], jnp.float32),
+            cam=jnp.asarray(A[:, 4], jnp.int32),
+            w=jnp.asarray(A[:, 7], jnp.float32),
+            valid=jnp.ones(n, bool),
+            Tbc=jnp.asarray(self.rig.Tbc, jnp.float32),
+            K=jnp.asarray(self.rig.K, jnp.float32),
+        )
+        samples = np.stack([
+            self._rng.choice(n, 3, replace=False)
+            for _ in range(self.cfg.ransac_max_it)
+        ])
+        ok, v_best, inl, n_in = mc_ransac(
+            data, jnp.asarray(samples, jnp.int32),
+            threshold=self.cfg.ransac_threshold,
+            min_match=self.cfg.ransac_min_match,
+        )
+        if bool(ok):
+            inl = np.asarray(inl)
+            for j, g in enumerate(idxs):
+                if not inl[j]:
+                    frame.outlier[g] = True
+
+    def _pose_solve(self, frame: Frame) -> int:
+        """Per-frame GP pose optimization + outlier write-back."""
+        m = self.atlas.active
+        data, state, handles = extract_pose_problem(
+            frame, self.last_frame, m.map_points, self.rig
+        )
+        out_m = np.zeros(handles["Nm"], bool)
+        out_s = np.zeros(handles["Ns"], bool)
+        out_m[: handles["n_mg"]] = frame.outlier[handles["mg_idx"]] if handles["n_mg"] else False
+        out_s[: handles["n_st"]] = frame.outlier[handles["st_idx"]] if handles["n_st"] else False
+        state, lvl_m, lvl_s, (stats, n_inl) = jax.jit(pose_gp_optimize)(
+            data, state, jnp.asarray(out_m), jnp.asarray(out_s)
+        )
+        frame.Twb = np.asarray(state.T[1], np.float64)
+        frame.velocity = np.asarray(state.v[1], np.float64)
+        lvl_m = np.asarray(lvl_m)
+        lvl_s = np.asarray(lvl_s)
+        if handles["n_mg"]:
+            frame.outlier[handles["mg_idx"]] = ~lvl_m[: handles["n_mg"]]
+        if handles["n_st"]:
+            frame.outlier[handles["st_idx"]] = ~lvl_s[: handles["n_st"]]
+        n = int(lvl_m[: handles["n_mg"]].sum() + lvl_s[: handles["n_st"]].sum())
+        return n
+
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        """Tracking::NeedNewKeyFrame c1/c3 conditions (Tracking.cc:2085-2198)."""
+        if self.last_kf is None:
+            return True
+        if self.frames_since_kf >= self.cfg.max_frames_between_kf:
+            return True
+        rel = _np_log_se3(np.linalg.inv(self.last_kf.Twb) @ frame.Twb)
+        return (
+            np.linalg.norm(rel[:3]) > self.cfg.kf_translation_th
+            or np.linalg.norm(rel[3:]) > self.cfg.kf_rotation_th
+        )
+
+    def _create_keyframe(self, frame: Frame):
+        """Tracking::CreateNewKeyFrame (Tracking.cc:2200-2292)."""
+        m = self.atlas.active
+        kf = KeyFrame(
+            timestamp=frame.timestamp,
+            cam_times=frame.cam_times.copy(),
+            Twb=frame.Twb.copy(),
+            velocity=frame.velocity.copy(),
+            keypoints=frame.keypoints,
+            kp_octaves=frame.kp_octaves,
+            descriptors=frame.descriptors,
+            kp_ur=frame.kp_ur,
+            kp_depth=frame.kp_depth,
+        )
+        kf.matches = frame.matches.copy()
+        kf.matches[frame.outlier] = -1
+        kf.prev_kf = self.last_kf
+        if self.last_kf is not None:
+            self.last_kf.next_kf = kf
+        m.add_keyframe(kf)
+        # register observations
+        for g, mp_id in enumerate(kf.matches):
+            if mp_id < 0:
+                continue
+            mp = m.map_points.get(int(mp_id))
+            if mp is None:
+                continue
+            cam, local = kf.cam_of_global(g)
+            mp.add_observation(kf, cam, g)
+        self._seed_stereo_landmarks(kf, m)
+        kf.update_connections(m.map_points)
+        self.last_kf = kf
+        self.frames_since_kf = 0
+        frame.ref_kf = kf
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf)
+
+    def _seed_stereo_landmarks(self, kf: KeyFrame, m: Map, max_seed=None):
+        """Stereo-depth landmark seeding (<=100, Tracking.cc:2247-2288)."""
+        max_seed = max_seed or self.cfg.max_stereo_seed
+        cam = self.rig.n_cams - 1
+        if kf.kp_depth is None:
+            return
+        order = np.argsort(kf.kp_depth)
+        created = 0
+        Twc = kf.Twb @ self.rig.Tbc[cam]
+        K = self.rig.K[cam]
+        for local in order:
+            d = kf.kp_depth[local]
+            if d <= 0:
+                continue
+            g = kf.global_index(cam, int(local))
+            if kf.matches[g] >= 0:
+                continue
+            uv = kf.keypoints[cam][local]
+            Xc = np.array([(uv[0] - K[2]) / K[0] * d, (uv[1] - K[3]) / K[1] * d, d])
+            Xw = Twc[:3, :3] @ Xc + Twc[:3, 3]
+            mp = MapPoint(position=Xw, descriptor=kf.descriptors[cam][local],
+                          first_kf_id=kf.id)
+            mp.add_observation(kf, cam, g)
+            kf.matches[g] = mp.id
+            m.add_map_point(mp)
+            created += 1
+            if created >= max_seed:
+                break
+
+    # ------------------------------------------------------------------
+    def _stereo_initialization(self, frame: Frame) -> bool:
+        """Tracking::StereoInitialization (Tracking.cc:1452-1503)."""
+        cam = self.rig.n_cams - 1
+        if frame.kp_depth is None or (frame.kp_depth > 0).sum() < 50:
+            return False
+        frame.Twb = np.eye(4)
+        frame.velocity = self.rig.ini_vel.copy()
+        m = self.atlas.active
+        kf = KeyFrame(
+            timestamp=frame.timestamp,
+            cam_times=frame.cam_times.copy(),
+            Twb=frame.Twb.copy(),
+            velocity=frame.velocity.copy(),
+            keypoints=frame.keypoints,
+            kp_octaves=frame.kp_octaves,
+            descriptors=frame.descriptors,
+            kp_ur=frame.kp_ur,
+            kp_depth=frame.kp_depth,
+        )
+        m.add_keyframe(kf)
+        self._seed_stereo_landmarks(kf, m, max_seed=10**9)
+        frame.matches = kf.matches.copy()
+        self.last_kf = kf
+        self.frames_since_kf = 0
+        frame.ref_kf = kf
+        self.velocity_model = self.rig.ini_vel.copy()
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(kf)
+        return True

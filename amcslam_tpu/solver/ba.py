@@ -72,6 +72,9 @@ class LocalBAData(NamedTuple):
     mg_w: jax.Array           # (Em,)
     mg_valid: jax.Array       # (Em,) bool
     mg_close: jax.Array       # (Em,) bool
+    mg_sid: jax.Array         # (Em,) int32 structure id (unique (pair,cam)
+                              # column set; padded edges -> dump segment)
+    mg_sid_cols: jax.Array    # (Sm,30) int32 column indices per structure
     # --- GP stereo edges (EdgeStereoGP; non-KF stereo obs)
     sg_pair: jax.Array        # (Eg,2) int32
     sg_lm: jax.Array          # (Eg,) int32
@@ -79,6 +82,8 @@ class LocalBAData(NamedTuple):
     sg_obs: jax.Array         # (Eg,3)
     sg_w: jax.Array           # (Eg,)
     sg_valid: jax.Array       # (Eg,) bool
+    sg_sid: jax.Array         # (Eg,) int32
+    sg_sid_cols: jax.Array    # (Sg,24) int32
     # --- stereo-camera edges at KF time (EdgeMono/EdgeStereo)
     st_pose: jax.Array        # (Es,) int32
     st_lm: jax.Array          # (Es,) int32
@@ -271,14 +276,17 @@ def make_ba_problem(
             ],
             axis=1,
         )  # (E,30)
-        # Hpp blocks deduplicated by structure id (pose-pair, camera)
-        sid = (i_ * K + j_) * Cx + c_
-        n_sid = K * K * Cx
+        # Hpp blocks deduplicated by host-precomputed structure id: there
+        # are only O(K*Cx) distinct (pose-pair, camera) column sets, and the
+        # segment count is encoded in mg_sid_cols' shape (static under jit).
+        # The naive (i*K+j)*Cx+c keying costs 17x more (105 ms vs 6 ms at the
+        # 50 KF / 5k pt benchmark size).
+        n_sid = data.mg_sid_cols.shape[0]
         Hblk = jnp.einsum("eri,erj->eij", JpW, Jp)  # (E,30,30)
         bblk = -jnp.einsum("eri,er->ei", JpW, r)  # (E,30)
-        Hseg = jax.ops.segment_sum(Hblk, sid, n_sid)
-        bseg = jax.ops.segment_sum(bblk, sid, n_sid)
-        colseg = jnp.clip(jax.ops.segment_max(cols, sid, n_sid), 0, P - 1)
+        Hseg = jax.ops.segment_sum(Hblk, data.mg_sid, n_sid)
+        bseg = jax.ops.segment_sum(bblk, data.mg_sid, n_sid)
+        colseg = data.mg_sid_cols
         Hpp = Hpp.at[colseg[:, :, None], colseg[:, None, :]].add(Hseg)
         bp = bp.at[colseg].add(bseg)
         # landmark coupling + landmark system
@@ -318,11 +326,10 @@ def make_ba_problem(
             ],
             axis=1,
         )
-        sid = i_ * K + j_
-        n_sid = K * K
-        Hseg = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", JpW, Jp), sid, n_sid)
-        bseg = jax.ops.segment_sum(-jnp.einsum("eri,er->ei", JpW, r), sid, n_sid)
-        colseg = jnp.clip(jax.ops.segment_max(cols, sid, n_sid), 0, P - 1)
+        n_sid = data.sg_sid_cols.shape[0]
+        Hseg = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", JpW, Jp), data.sg_sid, n_sid)
+        bseg = jax.ops.segment_sum(-jnp.einsum("eri,er->ei", JpW, r), data.sg_sid, n_sid)
+        colseg = data.sg_sid_cols
         Hpp = Hpp.at[colseg[:, :, None], colseg[:, None, :]].add(Hseg)
         bp = bp.at[colseg].add(bseg)
         JlW = Jl * w[:, None, None]
@@ -550,3 +557,47 @@ def global_ba(data: LocalBAData, state: BAState, num_iterations: int = 10):
         data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True
     )
     return lm_optimize(problem, state, num_iterations, lambda_init=1e-5)
+
+
+def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
+                       n_poses: int, n_ext: int):
+    """Host-side: compact structure ids + per-structure column tables for
+    LocalBAData.mg_sid/mg_sid_cols (and sg_*, with cams=None).
+
+    Returns (sid (E,), sid_cols (S, 24 or 30)). Padded/invalid edges map to a
+    zero-filled dump structure (their Jacobians are masked to zero anyway).
+    """
+    import numpy as _np
+
+    pairs = _np.asarray(pairs, _np.int64)
+    E = pairs.shape[0]
+    valid = _np.asarray(valid, bool)
+    width = 30 if cams is not None else 24
+    if E == 0:
+        return _np.zeros(0, _np.int32), _np.zeros((1, width), _np.int32)
+    if cams is not None:
+        key = (pairs[:, 0] * n_poses + pairs[:, 1]) * n_ext + _np.asarray(cams, _np.int64)
+    else:
+        key = pairs[:, 0] * n_poses + pairs[:, 1]
+    key = _np.where(valid, key, -1)
+    uniq, inv = _np.unique(key, return_inverse=True)
+    has_dump = uniq[0] == -1
+    if not has_dump:
+        uniq = _np.concatenate([[-1], uniq])
+        inv = inv + 1
+    S = len(uniq)
+    cols = _np.zeros((S, width), _np.int32)
+    for s_i in range(1, S):
+        k = uniq[s_i]
+        if cams is not None:
+            c = k % n_ext
+            ij = k // n_ext
+        else:
+            ij = k
+        i, j = ij // n_poses, ij % n_poses
+        base = _np.concatenate([12 * i + _np.arange(12), 12 * j + _np.arange(12)])
+        if cams is not None:
+            base = _np.concatenate([base, 12 * n_poses + 6 * c + _np.arange(6)])
+        cols[s_i] = base
+    # dump structure (index 0) scatters zero blocks at cols 0..width-1
+    return inv.astype(_np.int32), cols

@@ -68,7 +68,10 @@ def lm_optimize(
 
     def outer_body(carry):
         state, cur_chi, lam, ni, nbad, it, terminated = carry
-        ini_chi = problem.chi2(state)
+        # g2o recomputes activeRobustChi2 here, but the state is unchanged
+        # since the last accepted trial — the carried value is identical and
+        # saves one full residual evaluation per outer iteration.
+        ini_chi = cur_chi
         lin = problem.linearize(state)
 
         lam0 = jnp.where(
@@ -79,7 +82,6 @@ def lm_optimize(
         lam = jnp.where(it == 0, lam0, lam)
         ni = jnp.where(it == 0, jnp.asarray(2.0, dtype), ni)
         nbad = jnp.where(it == 0, 0, nbad)
-        cur_chi = ini_chi
 
         def t_body(c):
             st, chi_c, lam_c, ni_c, rho_c, qmax_c, first = c

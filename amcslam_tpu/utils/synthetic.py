@@ -305,6 +305,16 @@ def make_local_ba_problem(
     Cx = n_cams - 1
     pose_fixed = np.arange(n_kf) < n_fixed
 
+    from ..solver.ba import make_structure_ids
+
+    mg_pairs_np = mg[:, :2].astype(np.int64) if Em else np.zeros((0, 2), np.int64)
+    mg_cams_np = mg[:, 3].astype(np.int64) if Em else np.zeros(0, np.int64)
+    mg_sid, mg_sid_cols = make_structure_ids(
+        mg_pairs_np, mg_cams_np, np.ones(Em, bool), n_kf, Cx
+    )
+    sg_sid, sg_sid_cols = make_structure_ids(
+        np.zeros((0, 2), np.int64), None, np.zeros(0, bool), n_kf, Cx
+    )
     data = LocalBAData(
         times=jnp.asarray(times, dtype),
         pose_fixed=jnp.asarray(pose_fixed),
@@ -329,12 +339,16 @@ def make_local_ba_problem(
         mg_w=jnp.ones(Em, dtype),
         mg_valid=jnp.ones(Em, bool),
         mg_close=jnp.zeros(Em, bool),
+        mg_sid=jnp.asarray(mg_sid),
+        mg_sid_cols=jnp.asarray(mg_sid_cols),
         sg_pair=jnp.zeros((0, 2), jnp.int32),
         sg_lm=jnp.zeros(0, jnp.int32),
         sg_t=jnp.zeros(0, dtype),
         sg_obs=jnp.zeros((0, 3), dtype),
         sg_w=jnp.ones(0, dtype),
         sg_valid=jnp.ones(0, bool),
+        sg_sid=jnp.asarray(sg_sid),
+        sg_sid_cols=jnp.asarray(sg_sid_cols),
         st_pose=jnp.asarray(st[:, 0], jnp.int32) if Es else jnp.zeros(0, jnp.int32),
         st_lm=jnp.asarray(st[:, 1], jnp.int32) if Es else jnp.zeros(0, jnp.int32),
         st_obs=jnp.asarray(st[:, 2:5], dtype) if Es else jnp.zeros((0, 3), dtype),
@@ -366,3 +380,105 @@ def make_local_ba_problem(
         X=jnp.asarray(Xp, dtype),
     )
     return data, state0, gt
+
+
+def make_sequence(
+    n_frames=30,
+    n_cams=3,
+    n_lm=400,
+    fps=10.0,
+    noise_px=0.3,
+    stereo_depth_frac=0.8,
+    seed=0,
+):
+    """Synthetic multi-camera sequence for end-to-end pipeline tests.
+
+    Produces per-frame Frames (pipeline.map_store.Frame) with keypoints =
+    projections of persistent landmarks (so descriptor matching is exact by
+    construction: each landmark has a unique random 256-bit descriptor),
+    stereo depths on the reference camera, and async camera timestamps.
+    Returns (frames, rig, gt_poses (N,4,4), landmarks).
+    """
+    from ..pipeline.map_store import Frame
+    from ..pipeline.rig import Rig
+
+    rng = np.random.RandomState(seed)
+    Tbc, K, bf = make_rig(n_cams, seed + 1)
+    rig = Rig(Tbc=Tbc, K=K, bf=bf)
+
+    dt = 1.0 / fps
+    v_true = np.array([1.5, 0.1, 0.0, 0.0, 0.0, 0.12])
+    Ts = [np.eye(4)]
+    for k in range(1, n_frames):
+        vk = v_true + 0.2 * np.sin(0.3 * k) * np.array([1, 0.3, 0, 0, 0, 0.5])
+        Ts.append(Ts[-1] @ _np_exp_se3(vk * dt))
+    Ts = np.stack(Ts)
+
+    # landmarks sprinkled along the trajectory in front of the stereo camera
+    anchor = rng.randint(0, n_frames, n_lm)
+    X = np.zeros((n_lm, 3))
+    for l in range(n_lm):
+        Twc = Ts[anchor[l]] @ Tbc[-1]
+        Xc = np.array([rng.uniform(-5, 5), rng.uniform(-3, 3), rng.uniform(4, 25)])
+        X[l] = Twc[:3, :3] @ Xc + Twc[:3, 3]
+    descs = rng.randint(0, 256, (n_lm, 32)).astype(np.uint8)
+
+    def project_cam(Twb, c, Xw):
+        Twc = Twb @ Tbc[c]
+        Rcw = Twc[:3, :3].T
+        Xc = Rcw @ (Xw - Twc[:3, 3])
+        if Xc[2] < 0.5:
+            return None, Xc
+        u = K[c, 0] * Xc[0] / Xc[2] + K[c, 2]
+        v = K[c, 1] * Xc[1] / Xc[2] + K[c, 3]
+        if not (0 <= u < 960 and 0 <= v < 600):
+            return None, Xc
+        return np.array([u, v]), Xc
+
+    frames = []
+    for k in range(n_frames):
+        t_frame = k * dt
+        cam_times = rig.cam_times(t_frame)
+        kps, octs, ds = [], [], []
+        ur, depth = None, None
+        for c in range(n_cams):
+            # pose at this camera's timestamp (constant twist within frame)
+            toff = cam_times[c] - t_frame
+            if k > 0:
+                vk = v_true + 0.2 * np.sin(0.3 * k) * np.array([1, 0.3, 0, 0, 0, 0.5])
+            else:
+                vk = v_true
+            Twb_c = Ts[k] @ _np_exp_se3(vk * toff)
+            kp_c, oc_c, d_c, ur_c, z_c = [], [], [], [], []
+            for l in range(n_lm):
+                uv, Xc = project_cam(Twb_c, c, X[l])
+                if uv is None:
+                    continue
+                uv = uv + rng.randn(2) * noise_px
+                kp_c.append(uv)
+                oc_c.append(0)
+                d_c.append(descs[l])
+                if c == n_cams - 1:
+                    has_d = rng.rand() < stereo_depth_frac
+                    ur_c.append(uv[0] - bf / Xc[2] if has_d else -1.0)
+                    z_c.append(Xc[2] if has_d else -1.0)
+            kps.append(np.array(kp_c).reshape(-1, 2))
+            octs.append(np.array(oc_c, np.int64))
+            ds.append(np.array(d_c, np.uint8).reshape(-1, 32))
+            if c == n_cams - 1:
+                ur = np.array(ur_c)
+                depth = np.array(z_c)
+        frames.append(
+            Frame(
+                timestamp=t_frame,
+                cam_times=cam_times,
+                Twb=np.eye(4),
+                velocity=np.zeros(6),
+                keypoints=kps,
+                kp_octaves=octs,
+                descriptors=ds,
+                kp_ur=ur,
+                kp_depth=depth,
+            )
+        )
+    return frames, rig, Ts, (X, descs)
