@@ -48,7 +48,8 @@ class System:
             loop_closer=self.loop_closer,
         )
         self.tracker = Tracking(
-            rig, self.atlas, tracking_config, local_mapper=self.local_mapper
+            rig, self.atlas, tracking_config, local_mapper=self.local_mapper,
+            kfdb=self.kfdb,
         )
         self.threaded = threaded
         self._stop = False

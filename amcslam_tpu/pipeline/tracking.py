@@ -80,9 +80,10 @@ class TrackingConfig:
 
 class Tracking:
     def __init__(self, rig: Rig, atlas: Atlas, config: TrackingConfig | None = None,
-                 local_mapper=None):
+                 local_mapper=None, kfdb=None):
         self.rig = rig
         self.atlas = atlas
+        self.kfdb = kfdb
         self.cfg = config or TrackingConfig()
         self.state = TrackState.NO_IMAGES_YET
         self.last_frame: Frame | None = None
@@ -106,6 +107,16 @@ class Tracking:
             self.last_frame = frame
             self._record(frame)
             return self.state
+
+        # --- relocalization when recently lost (reference: MLPnP RANSAC,
+        # stubbed upstream Tracking.cc:1431-1450/2577-2628 — functional here)
+        if self.state == TrackState.RECENTLY_LOST:
+            if self._relocalize(frame):
+                self.state = TrackState.OK
+            else:
+                self.last_frame = frame
+                self._record(frame)
+                return self.state
 
         # --- TrackWithMotionModel (Tracking.cc:1822-1890)
         self._predict(frame)
@@ -415,3 +426,80 @@ class Tracking:
         if self.local_mapper is not None:
             self.local_mapper.insert_keyframe(kf)
         return True
+
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, frame: Frame) -> bool:
+        """Relocalization: KF-database candidates -> descriptor matching ->
+        batched MLPnP RANSAC on the stereo camera (the reference declares
+        this path but ships it stubbed; see SURVEY.md §2.5/§5)."""
+        if self.kfdb is None:
+            return False
+        from ..ransac.mlpnp import PnPRansacData, pnp_ransac
+        import jax.numpy as jnp
+
+        m = self.atlas.active
+        cam = self.rig.n_cams - 1
+        K = self.rig.K[cam]
+        cands = self.kfdb.detect_relocalization_candidates(
+            _FrameAsKF(frame), 3
+        ) if frame.descriptors[cam] is not None else []
+        for cand in cands:
+            # match frame's stereo-cam descriptors against candidate's points
+            mp_ids = [int(i) for i in cand.matches if i >= 0]
+            mps = [m.map_points[i] for i in set(mp_ids) if i in m.map_points]
+            mps = [mp for mp in mps if not mp.bad and mp.descriptor is not None]
+            if len(mps) < 12 or len(frame.keypoints[cam]) < 12:
+                continue
+            desc_mp = np.stack([mp.descriptor for mp in mps])
+            idx = matcher.match_descriptors(desc_mp, frame.descriptors[cam])
+            pts, obs = [], []
+            for mi, ki in enumerate(idx):
+                if ki >= 0:
+                    pts.append(mps[mi].position)
+                    obs.append(frame.keypoints[cam][int(ki)])
+            if len(pts) < 12:
+                continue
+            pts = np.stack(pts)
+            obs = np.stack(obs)
+            bear = np.concatenate(
+                [(obs[:, :1] - K[2]) / K[0], (obs[:, 1:] - K[3]) / K[1],
+                 np.ones((len(obs), 1))], axis=1)
+            bear /= np.linalg.norm(bear, axis=1, keepdims=True)
+            n = len(pts)
+            data = PnPRansacData(
+                points=jnp.asarray(pts, jnp.float64),
+                bearings=jnp.asarray(bear, jnp.float64),
+                obs=jnp.asarray(obs, jnp.float64),
+                K=jnp.asarray(K, jnp.float64),
+                w=jnp.ones(n, jnp.float64),
+                valid=jnp.ones(n, bool),
+                th2=jnp.full(n, 9.21, jnp.float64),
+            )
+            H = 32
+            samples = np.stack([
+                self._rng.choice(n, 6, replace=False) for _ in range(H)
+            ])
+            (R, t), inl, n_in = pnp_ransac(data, jnp.asarray(samples, jnp.int32))
+            if int(n_in) >= max(15, n // 3):
+                Tcw = np.eye(4)
+                Tcw[:3, :3] = np.asarray(R)
+                Tcw[:3, 3] = np.asarray(t)
+                Twc = np.linalg.inv(Tcw)
+                frame.Twb = Twc @ np.linalg.inv(self.rig.Tbc[cam])
+                frame.velocity = np.zeros(6)
+                self.velocity_model = np.zeros(6)
+                return True
+        return False
+
+
+class _FrameAsKF:
+    """Adapter: lets the keyframe database score a plain Frame query."""
+
+    def __init__(self, frame: Frame):
+        self.id = -1
+        self.descriptors = frame.descriptors
+        self.covisibility = {}
+
+    def best_covisible(self, n):
+        return []
