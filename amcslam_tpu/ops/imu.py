@@ -134,3 +134,28 @@ def delta_with_bias(
     dV = pre.dV + pre.JVg @ dbg + pre.JVa @ dba
     dP = pre.dP + pre.JPg @ dbg + pre.JPa @ dba
     return dR, dV, dP
+
+
+def merge_previous(
+    prev_meas: tuple[jax.Array, jax.Array, jax.Array, jax.Array],
+    meas: tuple[jax.Array, jax.Array, jax.Array, jax.Array],
+    bias_g: jax.Array,
+    bias_a: jax.Array,
+    Nga: jax.Array,
+    NgaWalk: jax.Array,
+) -> PreintState:
+    """Preintegrated::MergePrevious (ImuTypes.cc:237-263): re-integrate the
+    concatenation of two measurement windows at the updated bias. Each window
+    is (acc (N,3), gyro (N,3), dts (N,), valid (N,))."""
+    acc = jnp.concatenate([prev_meas[0], meas[0]])
+    gyro = jnp.concatenate([prev_meas[1], meas[1]])
+    dts = jnp.concatenate([prev_meas[2], meas[2]])
+    valid = jnp.concatenate([prev_meas[3], meas[3]])
+    return preintegrate(acc, gyro, dts, bias_g, bias_a, Nga, NgaWalk, valid)
+
+
+def reintegrate(meas, bias_g, bias_a, Nga, NgaWalk) -> PreintState:
+    """Preintegrated::Reintegrate: fresh integration at a new bias estimate
+    (the measurements are retained, ImuTypes.cc:265-275)."""
+    acc, gyro, dts, valid = meas
+    return preintegrate(acc, gyro, dts, bias_g, bias_a, Nga, NgaWalk, valid)

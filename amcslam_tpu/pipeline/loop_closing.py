@@ -181,15 +181,18 @@ class LoopClosing:
     def correct_loop(self, kf: KeyFrame, loop_kf: KeyFrame, S12: Sim3):
         """CorrectLoop (LoopClosing.cc:805-1206): propagate the corrected
         Sim3 to covisible KFs + landmarks, then essential-graph optimize."""
-        # corrected world-from-body of current KF: S12 maps loop-KF body ->
-        # current-KF body; corrected T_cur = T_loop * S12^-1 (scale folded)
+        # S12 aligns loop-KF body coords into CURRENT-KF body coords
+        # (Xb_cur = S12 . Xb_loop, from the Horn/OptimizeSim3 data layout).
+        # A physical point X_w = T_loop . Xb_loop must also equal
+        # T_cur_corrected . Xb_cur, so T_cur_corrected = T_loop . S12^-1
+        # with the scale folded into the translation.
         s = float(S12.s)
         R12 = np.asarray(S12.R)
         t12 = np.asarray(S12.t)
-        T12 = np.eye(4)
-        T12[:3, :3] = R12
-        T12[:3, 3] = t12 / max(s, 1e-9)
-        T_cur_corrected = loop_kf.Twb @ T12
+        T12_inv = np.eye(4)
+        T12_inv[:3, :3] = R12.T
+        T12_inv[:3, 3] = -R12.T @ t12 / max(s, 1e-9)
+        T_cur_corrected = loop_kf.Twb @ T12_inv
         delta = T_cur_corrected @ np.linalg.inv(kf.Twb)
 
         # propagate to current KF + covisible neighborhood; correct landmarks

@@ -76,6 +76,10 @@ class TrackingConfig:
     ransac_threshold: float = 3.0
     max_stereo_seed: int = 100       # stereo-depth landmark seeding cap
     search_radius: float = 7.0
+    # Record non-keyframe GP observations on tracked map points for use by
+    # BundleAdjustment/LocalGPBA (the reference keeps this plumbing inert —
+    # producer commented out at Tracking.cc:1376-1384; off by default).
+    produce_gp_obs: bool = False
 
 
 class Tracking:
@@ -144,6 +148,8 @@ class Tracking:
             self._create_keyframe(frame)
         else:
             self.frames_since_kf += 1
+            if self.cfg.produce_gp_obs and self.state == TrackState.OK:
+                self._add_gp_observations(frame)
 
         self.last_frame = frame
         self._record(frame)
@@ -503,3 +509,33 @@ class _FrameAsKF:
 
     def best_covisible(self, n):
         return []
+
+
+    def _add_gp_observations(self, frame: Frame):
+        """Attach this (non-keyframe) frame's inlier matches as GPObs records
+        on their map points, anchored at the reference keyframe — consumed by
+        BundleAdjustment/LocalGPBA (Optimizer.cc:252-304, 1027-1098)."""
+        if self.last_kf is None:
+            return
+        m = self.atlas.active
+        for g, mp_id in enumerate(frame.matches):
+            if mp_id < 0 or frame.outlier[g]:
+                continue
+            mp = m.map_points.get(int(mp_id))
+            if mp is None or mp.bad:
+                continue
+            cam, local = frame.cam_of_global(g)
+            uv = frame.keypoints[cam][local]
+            ur = -1.0
+            if cam == self.rig.n_cams - 1 and frame.kp_ur is not None:
+                ur = float(frame.kp_ur[local])
+            mp.add_gp_observation(
+                self.last_kf.id,
+                GPObs(
+                    time=float(frame.cam_times[cam]),
+                    cam=cam,
+                    uv=np.asarray(uv, float),
+                    ur=ur,
+                    octave=int(frame.kp_octaves[cam][local]),
+                ),
+            )

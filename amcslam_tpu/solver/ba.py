@@ -282,8 +282,8 @@ def make_ba_problem(
         # The naive (i*K+j)*Cx+c keying costs 17x more (105 ms vs 6 ms at the
         # 50 KF / 5k pt benchmark size).
         n_sid = data.mg_sid_cols.shape[0]
-        Hblk = jnp.einsum("eri,erj->eij", JpW, Jp)  # (E,30,30)
-        bblk = -jnp.einsum("eri,er->ei", JpW, r)  # (E,30)
+        Hblk = jnp.sum(JpW[:, :, :, None] * Jp[:, :, None, :], axis=1)  # (E,30,30)
+        bblk = -jnp.sum(JpW * r[:, :, None], axis=1)  # (E,30)
         Hseg = jax.ops.segment_sum(Hblk, data.mg_sid, n_sid)
         bseg = jax.ops.segment_sum(bblk, data.mg_sid, n_sid)
         colseg = data.mg_sid_cols
@@ -291,17 +291,17 @@ def make_ba_problem(
         bp = bp.at[colseg].add(bseg)
         # landmark coupling + landmark system
         JlW = Jl * w[:, None, None]  # (E,2,3)
-        Wblk = jnp.einsum("era,eri->eai", JlW, Jp)  # (E,3,30) = Jl^T W Jp
+        Wblk = jnp.sum(JlW[:, :, :, None] * Jp[:, :, None, :], axis=1)  # (E,3,30)
         Wt = Wt.at[
             data.mg_lm[:, None, None],
             jnp.arange(3)[None, :, None],
             cols[:, None, :],
         ].add(Wblk)
         Hll = Hll + jax.ops.segment_sum(
-            jnp.einsum("era,erb->eab", JlW, Jl), data.mg_lm, L
+            jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1), data.mg_lm, L
         )
         bl = bl - jax.ops.segment_sum(
-            jnp.einsum("era,er->ea", JlW, r), data.mg_lm, L
+            jnp.sum(JlW * r[:, :, None], axis=1), data.mg_lm, L
         )
 
         # ===== GP stereo edges =====
@@ -327,22 +327,22 @@ def make_ba_problem(
             axis=1,
         )
         n_sid = data.sg_sid_cols.shape[0]
-        Hseg = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", JpW, Jp), data.sg_sid, n_sid)
-        bseg = jax.ops.segment_sum(-jnp.einsum("eri,er->ei", JpW, r), data.sg_sid, n_sid)
+        Hseg = jax.ops.segment_sum(jnp.sum(JpW[:, :, :, None] * Jp[:, :, None, :], axis=1), data.sg_sid, n_sid)
+        bseg = jax.ops.segment_sum(-jnp.sum(JpW * r[:, :, None], axis=1), data.sg_sid, n_sid)
         colseg = data.sg_sid_cols
         Hpp = Hpp.at[colseg[:, :, None], colseg[:, None, :]].add(Hseg)
         bp = bp.at[colseg].add(bseg)
         JlW = Jl * w[:, None, None]
-        Wblk = jnp.einsum("era,eri->eai", JlW, Jp)
+        Wblk = jnp.sum(JlW[:, :, :, None] * Jp[:, :, None, :], axis=1)
         Wt = Wt.at[
             data.sg_lm[:, None, None],
             jnp.arange(3)[None, :, None],
             cols[:, None, :],
         ].add(Wblk)
         Hll = Hll + jax.ops.segment_sum(
-            jnp.einsum("era,erb->eab", JlW, Jl), data.sg_lm, L
+            jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1), data.sg_lm, L
         )
-        bl = bl - jax.ops.segment_sum(jnp.einsum("era,er->ea", JlW, r), data.sg_lm, L)
+        bl = bl - jax.ops.segment_sum(jnp.sum(JlW * r[:, :, None], axis=1), data.sg_lm, L)
 
         # ===== stereo-camera KF edges =====
         r, J3, Jl, _ = _stereo_eval(data, state)
@@ -357,22 +357,22 @@ def make_ba_problem(
         J3 = J3 * pose_act[p_][:, None, None]
         JpW = J3 * w[:, None, None]
         cols = 12 * p_[:, None] + jnp.arange(12)[None, :]
-        Hseg = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", JpW, J3), p_, K)
-        bseg = jax.ops.segment_sum(-jnp.einsum("eri,er->ei", JpW, r), p_, K)
+        Hseg = jax.ops.segment_sum(jnp.sum(JpW[:, :, :, None] * J3[:, :, None, :], axis=1), p_, K)
+        bseg = jax.ops.segment_sum(-jnp.sum(JpW * r[:, :, None], axis=1), p_, K)
         colK = 12 * jnp.arange(K)[:, None] + jnp.arange(12)[None, :]
         Hpp = Hpp.at[colK[:, :, None], colK[:, None, :]].add(Hseg)
         bp = bp.at[colK].add(bseg)
         JlW = Jl * w[:, None, None]
-        Wblk = jnp.einsum("era,eri->eai", JlW, J3)
+        Wblk = jnp.sum(JlW[:, :, :, None] * J3[:, :, None, :], axis=1)
         Wt = Wt.at[
             data.st_lm[:, None, None],
             jnp.arange(3)[None, :, None],
             cols[:, None, :],
         ].add(Wblk)
         Hll = Hll + jax.ops.segment_sum(
-            jnp.einsum("era,erb->eab", JlW, Jl), data.st_lm, L
+            jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1), data.st_lm, L
         )
-        bl = bl - jax.ops.segment_sum(jnp.einsum("era,er->ea", JlW, r), data.st_lm, L)
+        bl = bl - jax.ops.segment_sum(jnp.sum(JlW * r[:, :, None], axis=1), data.st_lm, L)
 
         # ===== GP prior chain =====
         r, J1, J2 = _gp_chain_eval(data, state)
@@ -387,7 +387,10 @@ def make_ba_problem(
         J1 = J1 * pose_act[i_][:, None, None]
         J2 = J2 * pose_act[j_][:, None, None]
         Jp = jnp.concatenate([J1, J2], axis=2)  # (Ng,12,24)
-        JW = jnp.einsum("eij,e,ejk->eik", data.gp_qi_inv, wg, Jp)  # Omega J
+        JW = jnp.sum(
+            (data.gp_qi_inv * wg[:, None, None])[:, :, :, None] * Jp[:, None, :, :],
+            axis=2,
+        )  # Omega J (E,12,24)
         cols = jnp.concatenate(
             [
                 12 * i_[:, None] + jnp.arange(12)[None, :],
@@ -395,8 +398,8 @@ def make_ba_problem(
             ],
             axis=1,
         )
-        Hblk = jnp.einsum("eri,erj->eij", JW, Jp)
-        bblk = -jnp.einsum("eri,er->ei", JW, r)
+        Hblk = jnp.sum(JW[:, :, :, None] * Jp[:, :, None, :], axis=1)
+        bblk = -jnp.sum(JW * r[:, :, None], axis=1)
         Hpp = Hpp.at[cols[:, :, None], cols[:, None, :]].add(Hblk)
         bp = bp.at[cols].add(bblk)
 
