@@ -103,9 +103,21 @@ class Tracking:
         """Tracking::GrabImageMultiCam + Track (Tracking.cc:1018-1427)."""
         m = self.atlas.active
 
+        # timestamp regression -> new map in the atlas (Tracking.cc:1081-1088)
+        if (
+            self.last_frame is not None
+            and frame.timestamp < self.last_frame.timestamp
+            and self.state not in (TrackState.NO_IMAGES_YET,)
+        ):
+            self.atlas.create_new_map()
+            self.state = TrackState.NOT_INITIALIZED
+            self.last_kf = None
+            if self.local_mapper is not None:
+                self.local_mapper.map = self.atlas.active
+                self.local_mapper.queue.clear()
+                self.local_mapper.recent_points.clear()
+
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
-            if self.last_frame is not None and frame.timestamp < self.last_frame.timestamp:
-                self.atlas.create_new_map()
             ok = self._stereo_initialization(frame)
             self.state = TrackState.OK if ok else TrackState.NOT_INITIALIZED
             self.last_frame = frame

@@ -90,6 +90,15 @@ def _fit_velocity(data: VelRansacData, sample_mask, num_iterations=40):
     return v
 
 
+def optimize_vel(data: VelRansacData, sample_mask, num_iterations: int = 40):
+    """Public OptimizeVel parity (Optimizer.cc:2364-2447): LM twist fit on the
+    level-0 (sampled) edges, then ||error|| <= threshold inliers over all.
+    Returns (vel, residual_norms)."""
+    v = _fit_velocity(data, sample_mask, num_iterations)
+    r, _ = _residuals_all(v, data)
+    return v, jnp.linalg.norm(r, axis=-1)
+
+
 def mc_ransac(
     data: VelRansacData,
     samples: jax.Array,
