@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import gp, lie
-from ..ops.precision import exact
+from ..ops.precision import exact, smm
 
 
 def project_pinhole(K: jax.Array, Xc: jax.Array) -> jax.Array:
@@ -63,7 +63,7 @@ def project_jac_stereo(K: jax.Array, bf: jax.Array, Xc: jax.Array) -> jax.Array:
 
 def _se3_deriv(Rcb: jax.Array, Xb: jax.Array) -> jax.Array:
     """3x6 dXc/d(dxi) for Twb <- Twb exp(dxi): [-Rcb, Rcb*hat(Xb)]."""
-    return jnp.concatenate([-Rcb, Rcb @ lie.hat(Xb)], axis=1)
+    return jnp.concatenate([-Rcb, smm(Rcb, lie.hat(Xb))], axis=1)
 
 
 @exact
@@ -87,10 +87,10 @@ def mono_residual_jac(Twb, Tbc, K, Xw, obs):
     Xc = lie.transform_point(Tcb, Xb)
     r = obs - project_pinhole(K, Xc)
     pj = project_jac_pinhole(K, Xc)
-    J_pose6 = -pj @ _se3_deriv(Rcb, Xb)
+    J_pose6 = -smm(pj, _se3_deriv(Rcb, Xb))
     J_pose = jnp.concatenate([J_pose6, jnp.zeros_like(J_pose6)], axis=1)
     Rbw = Twb[:3, :3].T
-    J_point = -pj @ Rcb @ Rbw
+    J_point = -smm(smm(pj, Rcb), Rbw)
     return r, J_pose, J_point, Xc
 
 
@@ -110,10 +110,10 @@ def stereo_residual_jac(Twb, Tbc, K, bf, Xw, obs):
     Xc = lie.transform_point(Tcb, Xb)
     r = obs - project_stereo(K, bf, Xc)
     pj = project_jac_stereo(K, bf, Xc)
-    J_pose6 = -pj @ _se3_deriv(Rcb, Xb)
+    J_pose6 = -smm(pj, _se3_deriv(Rcb, Xb))
     J_pose = jnp.concatenate([J_pose6, jnp.zeros_like(J_pose6)], axis=1)
     Rbw = Twb[:3, :3].T
-    J_point = -pj @ Rcb @ Rbw
+    J_point = -smm(smm(pj, Rcb), Rbw)
     return r, J_pose, J_point, Xc
 
 
@@ -138,10 +138,10 @@ def _gp_vertex_chains(dT, xi12, v2, t1, t2, t, dtype):
 
     z6 = jnp.zeros((6, 6), dtype=dtype)
     eye6 = jnp.eye(6, dtype=dtype)
-    top_T1 = -Jr_inv_xi12 @ Ad_T12_inv
-    JinT1 = jnp.concatenate([top_T1, -0.5 * ad_v2 @ top_T1], axis=0)  # (12,6)
+    top_T1 = -smm(Jr_inv_xi12, Ad_T12_inv)
+    JinT1 = jnp.concatenate([top_T1, -0.5 * smm(ad_v2, top_T1)], axis=0)  # (12,6)
     JinV1 = jnp.concatenate([z6, eye6], axis=0)
-    JinT2 = jnp.concatenate([Jr_inv_xi12, -0.5 * ad_v2 @ Jr_inv_xi12], axis=0)
+    JinT2 = jnp.concatenate([Jr_inv_xi12, -0.5 * smm(ad_v2, Jr_inv_xi12)], axis=0)
     JinV2 = jnp.concatenate([z6, Jr_inv_xi12], axis=0)
 
     a11, a12, p11, p12 = gp.interp_coeffs(t1, t2, t)
@@ -182,20 +182,20 @@ def mono_gp_residual_jac(T1, v1, t1, T2, v2, t2, t, Tbc, K, Xw, obs):
     r = obs - project_pinhole(K, Xc)
 
     pj = project_jac_pinhole(K, Xc)
-    J1cam = -pj @ _se3_deriv(Rcb, Xb)  # (2,6): d r / d (interpolated pose)
+    J1cam = -smm(pj, _se3_deriv(Rcb, Xb))  # (2,6): d r / d (interpolated pose)
     Jr_dxi, Pt1, At1, Ad_dT, JinT1, JinV1, JinT2, JinV2 = _gp_vertex_chains(
         dT, xi12, v2, t1, t2, t, dtype
     )
-    JrP = Jr_dxi @ Pt1  # (6,12)
-    J1_T = J1cam @ (JrP @ JinT1 + Ad_dT)  # (2,6)
-    J1_V = J1cam @ (Jr_dxi @ At1 @ JinV1)  # (2,6)
+    JrP = smm(Jr_dxi, Pt1)  # (6,12)
+    J1_T = smm(J1cam, smm(JrP, JinT1) + Ad_dT)  # (2,6)
+    J1_V = smm(J1cam, smm(smm(Jr_dxi, At1), JinV1))  # (2,6)
     J1 = jnp.concatenate([J1_T, J1_V], axis=1)
-    Jj1 = J1cam @ JrP  # (2,12)
-    J2 = jnp.concatenate([Jj1 @ JinT2, Jj1 @ JinV2], axis=1)
-    J_point = -pj @ Rcb @ Rbw
+    Jj1 = smm(J1cam, JrP)  # (2,12)
+    J2 = jnp.concatenate([smm(Jj1, JinT2), smm(Jj1, JinV2)], axis=1)
+    J_point = -smm(smm(pj, Rcb), Rbw)
     # Extrinsic block (EdgeMonoGPExtrinsic, G2oTypes.cc:311-314):
     # d r / d (Tbc exp(de)) = -pj @ [-I, hat(Xc)]
-    J_ext = -pj @ jnp.concatenate([-jnp.eye(3, dtype=dtype), lie.hat(Xc)], axis=1)
+    J_ext = -smm(pj, jnp.concatenate([-jnp.eye(3, dtype=dtype), lie.hat(Xc)], axis=1))
     return r, J1, J2, J_point, J_ext, Xc
 
 
@@ -218,15 +218,16 @@ def stereo_gp_residual_jac(T1, v1, t1, T2, v2, t2, t, Tbc, K, bf, Xw, obs):
     r = obs - project_stereo(K, bf, Xc)
 
     pj = project_jac_stereo(K, bf, Xc)
-    J1cam = -pj @ _se3_deriv(Rcb, Xb)
+    J1cam = -smm(pj, _se3_deriv(Rcb, Xb))
     Jr_dxi, Pt1, At1, Ad_dT, JinT1, JinV1, JinT2, JinV2 = _gp_vertex_chains(
         dT, xi12, v2, t1, t2, t, dtype
     )
-    JrP = Jr_dxi @ Pt1
+    JrP = smm(Jr_dxi, Pt1)
     J1 = jnp.concatenate(
-        [J1cam @ (JrP @ JinT1 + Ad_dT), J1cam @ (Jr_dxi @ At1 @ JinV1)], axis=1
+        [smm(J1cam, smm(JrP, JinT1) + Ad_dT),
+         smm(J1cam, smm(smm(Jr_dxi, At1), JinV1))], axis=1
     )
-    Jj1 = J1cam @ JrP
-    J2 = jnp.concatenate([Jj1 @ JinT2, Jj1 @ JinV2], axis=1)
-    J_point = -pj @ Rcb @ Rbw
+    Jj1 = smm(J1cam, JrP)
+    J2 = jnp.concatenate([smm(Jj1, JinT2), smm(Jj1, JinV2)], axis=1)
+    J_point = -smm(smm(pj, Rcb), Rbw)
     return r, J1, J2, J_point, Xc

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from . import lie
-from .precision import exact
+from .precision import exact, smm
 
 
 def qi(dt: jax.Array, Qc: jax.Array) -> jax.Array:
@@ -108,8 +108,8 @@ def interp_matrices(t1, t2, t, Qc: jax.Array, Qc_inv: jax.Array):
 @exact
 def local_state(T1: jax.Array, T2: jax.Array, v2: jax.Array):
     """(xi12, x2) with x2 = [log(T1^-1 T2); Jr^-1(xi12) v2] (GaussianProcess.cc:14-19)."""
-    xi12 = lie.log_se3(lie.se3_inv(T1) @ T2)
-    x2 = jnp.concatenate([xi12, lie.right_jacobian_pose3_inv(xi12) @ v2])
+    xi12 = lie.log_se3(smm(lie.se3_inv(T1), T2))
+    x2 = jnp.concatenate([xi12, smm(lie.right_jacobian_pose3_inv(xi12), v2)])
     return xi12, x2
 
 
@@ -130,10 +130,10 @@ def query_pose_aux(T1, T2, v1, v2, t1, t2, t, Qc, Qc_inv):
     reprojection factors (second QueryPose overload, GaussianProcess.cc:24-44).
     """
     a11, a12, p11, p12 = interp_coeffs(t1, t2, t)
-    xi12 = lie.log_se3(lie.se3_inv(T1) @ T2)
-    nu2 = lie.right_jacobian_pose3_inv(xi12) @ v2
+    xi12 = lie.log_se3(smm(lie.se3_inv(T1), T2))
+    nu2 = smm(lie.right_jacobian_pose3_inv(xi12), v2)
     # dxi = At1 @ [0; v1] + Pt1 @ [xi12; nu2], expanded in the scalar form.
     dxi = a12 * v1 + p11 * xi12 + p12 * nu2
     dT = lie.exp_se3(dxi)
     At1, Pt1 = interp_matrices(t1, t2, t, Qc, Qc_inv)
-    return T1 @ dT, (At1, Pt1, dT, xi12)
+    return smm(T1, dT), (At1, Pt1, dT, xi12)

@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .precision import exact
+from .precision import exact, smm
 
 
 def _small_threshold2(dtype) -> float:
@@ -79,7 +79,7 @@ def exp_so3(w: jax.Array) -> jax.Array:
     A, B, _ = _trig_coeffs(theta2)
     W = hat(w)
     eye = jnp.eye(3, dtype=w.dtype)
-    return eye + A * W + B * (W @ W)
+    return eye + A * W + B * smm(W, W)
 
 
 def quat_from_rotmat(R: jax.Array) -> jax.Array:
@@ -146,7 +146,7 @@ def left_jacobian_so3(w: jax.Array) -> jax.Array:
     theta2 = jnp.dot(w, w)
     _, B, C = _trig_coeffs(theta2)
     W = hat(w)
-    return jnp.eye(3, dtype=w.dtype) + B * W + C * (W @ W)
+    return jnp.eye(3, dtype=w.dtype) + B * W + C * smm(W, W)
 
 
 @exact
@@ -169,7 +169,7 @@ def left_jacobian_so3_inv(w: jax.Array) -> jax.Array:
         1.0 / safe2 - (1.0 + c) / (2.0 * theta * s),
     )
     W = hat(w)
-    return jnp.eye(3, dtype=w.dtype) - 0.5 * W + D * (W @ W)
+    return jnp.eye(3, dtype=w.dtype) - 0.5 * W + D * smm(W, W)
 
 
 def right_jacobian_so3(w: jax.Array) -> jax.Array:
@@ -199,7 +199,7 @@ def se3_inv(T: jax.Array) -> jax.Array:
     """Inverse of a rigid transform without a general 4x4 inverse."""
     R = T[:3, :3]
     t = T[:3, 3]
-    return se3_matrix(R.T, -R.T @ t)
+    return se3_matrix(R.T, -smm(R.T, t))
 
 
 @exact
@@ -207,7 +207,7 @@ def exp_se3(xi: jax.Array) -> jax.Array:
     """se(3) exponential, xi = [rho, omega] -> 4x4 transform."""
     rho, w = xi[:3], xi[3:]
     R = exp_so3(w)
-    t = left_jacobian_so3(w) @ rho
+    t = smm(left_jacobian_so3(w), rho)
     return se3_matrix(R, t)
 
 
@@ -215,7 +215,7 @@ def exp_se3(xi: jax.Array) -> jax.Array:
 def log_se3(T: jax.Array) -> jax.Array:
     """SE(3) logarithm -> [rho, omega]."""
     w = log_so3(T[:3, :3])
-    rho = left_jacobian_so3_inv(w) @ T[:3, 3]
+    rho = smm(left_jacobian_so3_inv(w), T[:3, 3])
     return jnp.concatenate([rho, w])
 
 
@@ -226,7 +226,7 @@ def adj_se3(T: jax.Array) -> jax.Array:
     t = T[:3, 3]
     A = jnp.zeros((6, 6), dtype=T.dtype)
     A = A.at[:3, :3].set(R)
-    A = A.at[:3, 3:].set(hat(t) @ R)
+    A = A.at[:3, 3:].set(smm(hat(t), R))
     return A.at[3:, 3:].set(R)
 
 
@@ -295,16 +295,16 @@ def left_jacobian_pose3_Q(xi: jax.Array) -> jax.Array:
     rho, w = xi[:3], xi[3:]
     X = hat(w)
     Y = hat(rho)
-    XY = X @ Y
-    YX = Y @ X
-    XYX = X @ YX
+    XY = smm(X, Y)
+    YX = smm(Y, X)
+    XYX = smm(X, YX)
     theta2 = jnp.dot(w, w)
     cQ2, cQ3, cQ4 = _Q_coeffs(theta2)
     return (
         0.5 * Y
         + cQ2 * (XY + YX + XYX)
-        - cQ3 * (X @ XY + YX @ X - 3.0 * XYX)
-        - 0.5 * cQ4 * (XYX @ X + X @ XYX)
+        - cQ3 * (smm(X, XY) + smm(YX, X) - 3.0 * XYX)
+        - 0.5 * cQ4 * (smm(XYX, X) + smm(X, XYX))
     )
 
 
@@ -332,7 +332,7 @@ def left_jacobian_pose3_inv(xi: jax.Array) -> jax.Array:
     Jinv = left_jacobian_so3_inv(w)
     out = jnp.zeros((6, 6), dtype=xi.dtype)
     out = out.at[:3, :3].set(Jinv)
-    out = out.at[:3, 3:].set(-Jinv @ Q @ Jinv)
+    out = out.at[:3, 3:].set(-smm(smm(Jinv, Q), Jinv))
     return out.at[3:, 3:].set(Jinv)
 
 
@@ -344,4 +344,4 @@ def right_jacobian_pose3_inv(xi: jax.Array) -> jax.Array:
 @exact
 def transform_point(T: jax.Array, p: jax.Array) -> jax.Array:
     """Apply rigid transform to a 3D point."""
-    return T[:3, :3] @ p + T[:3, 3]
+    return smm(T[:3, :3], p) + T[:3, 3]

@@ -24,3 +24,20 @@ def exact(fn):
             return fn(*args, **kwargs)
 
     return wrapper
+
+
+def smm(a, b):
+    """Small-matrix multiply as broadcast multiply + sum.
+
+    For the fixed tiny operands of Lie/GP/factor chains (<= 12x12), a
+    dot_general at HIGHEST precision becomes a separate multi-pass MXU op
+    that blocks XLA elementwise fusion; the mul-sum form is exact f32, runs
+    on the VPU, and fuses with its neighbors. Handles matrix @ matrix and
+    matrix @ vector with arbitrary broadcast batch dims.
+    """
+    import jax.numpy as jnp
+
+    if b.ndim == a.ndim - 1:  # matrix @ vector
+        return jnp.sum(a * b[..., None, :], axis=-1)
+    # out[..., i, j] = sum_k a[..., i, k] b[..., k, j]
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
