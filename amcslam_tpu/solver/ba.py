@@ -243,7 +243,12 @@ def make_ba_problem(
         L = state.X.shape[0]
         Hpp = jnp.zeros((P, P), dtype)
         bp = jnp.zeros((P,), dtype)
-        Wt = jnp.zeros((L, 3, P), dtype)
+        # Landmark-coupling blocks accumulate with segment-sums into pose-
+        # aligned layouts ((L,K,3,12) + (L,Cx,3,6)) and reshape into the dense
+        # Wt at the end — TPU scatter-add costs ~9 ms per 1e6 index rows,
+        # segment-sum is ~10x cheaper at this size.
+        Wp = jnp.zeros((L * K, 3, 12), dtype)
+        We = jnp.zeros((L * Cx, 3, 6), dtype) if Cx else None
         Hll = jnp.zeros((L, 3, 3), dtype)
         bl = jnp.zeros((L, 3), dtype)
 
@@ -292,11 +297,12 @@ def make_ba_problem(
         # landmark coupling + landmark system
         JlW = Jl * w[:, None, None]  # (E,2,3)
         Wblk = jnp.sum(JlW[:, :, :, None] * Jp[:, :, None, :], axis=1)  # (E,3,30)
-        Wt = Wt.at[
-            data.mg_lm[:, None, None],
-            jnp.arange(3)[None, :, None],
-            cols[:, None, :],
-        ].add(Wblk)
+        Wp = Wp + jax.ops.segment_sum(Wblk[:, :, :12], data.mg_lm * K + i_, L * K)
+        Wp = Wp + jax.ops.segment_sum(Wblk[:, :, 12:24], data.mg_lm * K + j_, L * K)
+        if Cx:
+            We = We + jax.ops.segment_sum(
+                Wblk[:, :, 24:30], data.mg_lm * Cx + c_, L * Cx
+            )
         Hll = Hll + jax.ops.segment_sum(
             jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1), data.mg_lm, L
         )
@@ -334,11 +340,8 @@ def make_ba_problem(
         bp = bp.at[colseg].add(bseg)
         JlW = Jl * w[:, None, None]
         Wblk = jnp.sum(JlW[:, :, :, None] * Jp[:, :, None, :], axis=1)
-        Wt = Wt.at[
-            data.sg_lm[:, None, None],
-            jnp.arange(3)[None, :, None],
-            cols[:, None, :],
-        ].add(Wblk)
+        Wp = Wp + jax.ops.segment_sum(Wblk[:, :, :12], data.sg_lm * K + i_, L * K)
+        Wp = Wp + jax.ops.segment_sum(Wblk[:, :, 12:24], data.sg_lm * K + j_, L * K)
         Hll = Hll + jax.ops.segment_sum(
             jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1), data.sg_lm, L
         )
@@ -364,11 +367,7 @@ def make_ba_problem(
         bp = bp.at[colK].add(bseg)
         JlW = Jl * w[:, None, None]
         Wblk = jnp.sum(JlW[:, :, :, None] * J3[:, :, None, :], axis=1)
-        Wt = Wt.at[
-            data.st_lm[:, None, None],
-            jnp.arange(3)[None, :, None],
-            cols[:, None, :],
-        ].add(Wblk)
+        Wp = Wp + jax.ops.segment_sum(Wblk, data.st_lm * K + p_, L * K)
         Hll = Hll + jax.ops.segment_sum(
             jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1), data.st_lm, L
         )
@@ -420,6 +419,16 @@ def make_ba_problem(
         )
         bp = bp.at[colE].add(-jnp.einsum("cri,cr->ci", JW_e, r_e))
 
+        Wt_pose = (
+            Wp.reshape(L, K, 3, 12).transpose(0, 2, 1, 3).reshape(L, 3, 12 * K)
+        )
+        if Cx:
+            Wt_ext = (
+                We.reshape(L, Cx, 3, 6).transpose(0, 2, 1, 3).reshape(L, 3, 6 * Cx)
+            )
+            Wt = jnp.concatenate([Wt_pose, Wt_ext], axis=2)
+        else:
+            Wt = Wt_pose
         return (Hpp, bp, Wt, Hll, bl)
 
     def max_abs_diag(lin):
