@@ -174,6 +174,65 @@ def _gp_chain_eval(data: LocalBAData, state: BAState):
     return jax.vmap(one)(data.gp_pairs)
 
 
+
+
+def _mono_gp_residuals(data: LocalBAData, state: BAState):
+    """Residual-only async-camera GP evaluation (chi2 path — avoids building
+    the Jacobian chains XLA may not fully DCE through vmap)."""
+
+    def one(pair, lm, cam, t, obs):
+        i, j = pair[0], pair[1]
+        r, _ = reprojection.mono_gp_residual(
+            state.T[i], state.v[i], data.times[i],
+            state.T[j], state.v[j], data.times[j],
+            t, state.Text[cam], data.K_async[cam], state.X[lm], obs,
+        )
+        return r
+
+    return jax.vmap(one)(data.mg_pair, data.mg_lm, data.mg_cam, data.mg_t, data.mg_obs)
+
+
+def _stereo_gp_residuals(data: LocalBAData, state: BAState):
+    def one(pair, lm, t, obs):
+        i, j = pair[0], pair[1]
+        eye = jnp.eye(6, dtype=state.T.dtype)
+        from ..ops import gp as _gp
+
+        Twb, _ = _gp.query_pose_aux(
+            state.T[i], state.T[j], state.v[i], state.v[j],
+            data.times[i], data.times[j], t, eye, eye,
+        )
+        Xb = lie.transform_point(lie.se3_inv(Twb), state.X[lm])
+        Xc = lie.transform_point(lie.se3_inv(data.Tbc_stereo), Xb)
+        return obs - reprojection.project_stereo(data.K_stereo, data.bf, Xc)
+
+    return jax.vmap(one)(data.sg_pair, data.sg_lm, data.sg_t, data.sg_obs)
+
+
+def _stereo_residuals(data: LocalBAData, state: BAState):
+    def one(p, lm, obs, is_stereo):
+        r3, Xc = reprojection.stereo_residual(
+            state.T[p], data.Tbc_stereo, data.K_stereo, data.bf, state.X[lm], obs
+        )
+        row = jnp.where(
+            is_stereo, jnp.ones(3, r3.dtype), jnp.asarray([1, 1, 0], r3.dtype)
+        )
+        return r3 * row
+
+    return jax.vmap(one)(data.st_pose, data.st_lm, data.st_obs, data.st_is_stereo)
+
+
+def _gp_chain_residuals(data: LocalBAData, state: BAState):
+    def one(pair):
+        i, j = pair[0], pair[1]
+        return gp_prior.gp_prior_residual(
+            state.T[i], state.v[i], data.times[i],
+            state.T[j], state.v[j], data.times[j],
+        )
+
+    return jax.vmap(one)(data.gp_pairs)
+
+
 def make_ba_problem(
     data: LocalBAData,
     lvl_m,
@@ -209,22 +268,22 @@ def make_ba_problem(
     )
 
     def chi2(state: BAState):
-        r_m, *_ = _mono_gp_eval(data, state)
+        r_m = _mono_gp_residuals(data, state)
         s = jnp.sum(r_m * r_m, -1) * data.mg_w
         rho0, _ = robust.huber_rho01(s, jnp.asarray(TH_HUBER_MONO, dtype), huber_on)
         c = jnp.sum(jnp.where(act_m, rho0, 0.0))
 
-        r_sg, *_ = _stereo_gp_eval(data, state)
+        r_sg = _stereo_gp_residuals(data, state)
         s = jnp.sum(r_sg * r_sg, -1) * data.sg_w
         rho0, _ = robust.huber_rho01(s, jnp.asarray(TH_HUBER_STEREO, dtype), huber_on)
         c += jnp.sum(jnp.where(act_sg, rho0, 0.0))
 
-        r_st, _, _, _ = _stereo_eval(data, state)
+        r_st = _stereo_residuals(data, state)
         s = jnp.sum(r_st * r_st, -1) * data.st_w
         rho0, _ = robust.huber_rho01(s, delta_st, huber_on)
         c += jnp.sum(jnp.where(act_st, rho0, 0.0))
 
-        r_g, _, _ = _gp_chain_eval(data, state)
+        r_g = _gp_chain_residuals(data, state)
         s = jnp.einsum("ei,eij,ej->e", r_g, data.gp_qi_inv, r_g)
         rho0, _ = robust.huber_rho01(
             s, jnp.asarray(TH_HUBER_GP, dtype), data.gp_huber
