@@ -171,6 +171,38 @@ class KeyFrame:
     def best_covisible(self, n: int) -> list[int]:
         return sorted(self.covisibility, key=self.covisibility.get, reverse=True)[:n]
 
+    def compute_scene_median_depth(self, map_points: dict, q: int = 2) -> float:
+        """Median depth of this KF's landmarks in its body frame
+        (MultiKeyFrame::ComputeSceneMedianDepth)."""
+        Tbw = np.linalg.inv(self.Twb)
+        depths = []
+        for mp_id in self.matches:
+            if mp_id < 0:
+                continue
+            mp = map_points.get(int(mp_id))
+            if mp is None or mp.bad:
+                continue
+            depths.append((Tbw[:3, :3] @ mp.position + Tbw[:3, 3])[2])
+        if not depths:
+            return -1.0
+        return float(np.sort(np.asarray(depths))[(len(depths) - 1) // q])
+
+    def set_bad_flag(self, map_: "Map"):
+        """KeyFrame::SetBadFlag: detach observations and covisibility.
+        NOTE: keyframe culling stays disabled in the pipeline (it would break
+        the temporal GP chain, LocalMapping.cc:160-162) — provided for API
+        parity and explicit map surgery."""
+        for mp_id in self.matches:
+            mp = map_.map_points.get(int(mp_id)) if mp_id >= 0 else None
+            if mp is not None:
+                mp.observations.pop(self.id, None)
+        for kf_id in list(self.covisibility):
+            other = map_.keyframes.get(kf_id)
+            if other is not None:
+                other.covisibility.pop(self.id, None)
+        self.bad = True
+        map_.keyframes.pop(self.id, None)
+
 
 @dataclass
 class Frame:

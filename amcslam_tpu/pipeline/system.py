@@ -79,6 +79,13 @@ class System:
             if not busy:
                 time.sleep(0.002)
 
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode: tracking only, map frozen."""
+        self.tracker.cfg.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.cfg.localization_only = False
+
     def shutdown(self):
         self._stop = True
         if self.threaded:

@@ -76,6 +76,9 @@ class TrackingConfig:
     ransac_threshold: float = 3.0
     max_stereo_seed: int = 100       # stereo-depth landmark seeding cap
     search_radius: float = 7.0
+    # localization-only mode (System::ActivateLocalizationMode): track but
+    # never create keyframes or modify the map
+    localization_only: bool = False
     # Record non-keyframe GP observations on tracked map points for use by
     # BundleAdjustment/LocalGPBA (the reference keeps this plumbing inert —
     # producer commented out at Tracking.cc:1376-1384; off by default).
@@ -156,7 +159,11 @@ class Tracking:
         rel = _np_log_se3(np.linalg.inv(self.last_frame.Twb) @ frame.Twb)
         self.velocity_model = rel / max(dt, 1e-6)
 
-        if self.state == TrackState.OK and self._need_new_keyframe(frame):
+        if (
+            self.state == TrackState.OK
+            and not self.cfg.localization_only
+            and self._need_new_keyframe(frame)
+        ):
             self._create_keyframe(frame)
         else:
             self.frames_since_kf += 1

@@ -306,7 +306,7 @@ def make_ba_problem(
         # aligned layouts ((L,K,3,12) + (L,Cx,3,6)) and reshape into the dense
         # Wt at the end — TPU scatter-add costs ~9 ms per 1e6 index rows,
         # segment-sum is ~10x cheaper at this size.
-        Wp = jnp.zeros((L * K, 3, 12), dtype)
+        wp_rows, wp_keys = [], []  # landmark-coupling rows, one segment_sum
         We = jnp.zeros((L * Cx, 3, 6), dtype) if Cx else None
         Hll = jnp.zeros((L, 3, 3), dtype)
         bl = jnp.zeros((L, 3), dtype)
@@ -356,8 +356,10 @@ def make_ba_problem(
         # landmark coupling + landmark system
         JlW = Jl * w[:, None, None]  # (E,2,3)
         Wblk = jnp.sum(JlW[:, :, :, None] * Jp[:, :, None, :], axis=1)  # (E,3,30)
-        Wp = Wp + jax.ops.segment_sum(Wblk[:, :, :12], data.mg_lm * K + i_, L * K)
-        Wp = Wp + jax.ops.segment_sum(Wblk[:, :, 12:24], data.mg_lm * K + j_, L * K)
+        wp_rows.append(Wblk[:, :, :12])
+        wp_keys.append(data.mg_lm * K + i_)
+        wp_rows.append(Wblk[:, :, 12:24])
+        wp_keys.append(data.mg_lm * K + j_)
         if Cx:
             We = We + jax.ops.segment_sum(
                 Wblk[:, :, 24:30], data.mg_lm * Cx + c_, L * Cx
@@ -399,8 +401,10 @@ def make_ba_problem(
         bp = bp.at[colseg].add(bseg)
         JlW = Jl * w[:, None, None]
         Wblk = jnp.sum(JlW[:, :, :, None] * Jp[:, :, None, :], axis=1)
-        Wp = Wp + jax.ops.segment_sum(Wblk[:, :, :12], data.sg_lm * K + i_, L * K)
-        Wp = Wp + jax.ops.segment_sum(Wblk[:, :, 12:24], data.sg_lm * K + j_, L * K)
+        wp_rows.append(Wblk[:, :, :12])
+        wp_keys.append(data.sg_lm * K + i_)
+        wp_rows.append(Wblk[:, :, 12:24])
+        wp_keys.append(data.sg_lm * K + j_)
         Hll = Hll + jax.ops.segment_sum(
             jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1), data.sg_lm, L
         )
@@ -426,7 +430,8 @@ def make_ba_problem(
         bp = bp.at[colK].add(bseg)
         JlW = Jl * w[:, None, None]
         Wblk = jnp.sum(JlW[:, :, :, None] * J3[:, :, None, :], axis=1)
-        Wp = Wp + jax.ops.segment_sum(Wblk, data.st_lm * K + p_, L * K)
+        wp_rows.append(Wblk)
+        wp_keys.append(data.st_lm * K + p_)
         Hll = Hll + jax.ops.segment_sum(
             jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1), data.st_lm, L
         )
@@ -478,6 +483,9 @@ def make_ba_problem(
         )
         bp = bp.at[colE].add(-jnp.einsum("cri,cr->ci", JW_e, r_e))
 
+        Wp = jax.ops.segment_sum(
+            jnp.concatenate(wp_rows, axis=0), jnp.concatenate(wp_keys), L * K
+        )
         Wt_pose = (
             Wp.reshape(L, K, 3, 12).transpose(0, 2, 1, 3).reshape(L, 3, 12 * K)
         )
