@@ -231,3 +231,100 @@ def stereo_gp_residual_jac(T1, v1, t1, T2, v2, t2, t, Tbc, K, bf, Xw, obs):
     J2 = jnp.concatenate([smm(Jj1, JinT2), smm(Jj1, JinV2)], axis=1)
     J_point = -smm(smm(pj, Rcb), Rbw)
     return r, J1, J2, J_point, Xc
+
+
+# ---------------------------------------------------------------------------
+# Packed GP-interpolated evaluation (solver fast path)
+# ---------------------------------------------------------------------------
+#
+# The chain blocks JinT1/JinT2/JinV2 and xi12/nu2 depend only on the POSE
+# PAIR, not on the per-observation timestamp: computing them once per unique
+# pair (~K structures) instead of per edge (~10k) removes most of the 6x6
+# chain work. Additionally At1/Pt1 are scalar-block ([a*I, b*I]), so every
+# 6x12/12x6 product collapses to scalar combinations of M = J1cam @ Jr(dxi):
+#
+#   J1 = [p11*M@A1 + p12*M@B1 + J1cam@Ad(dT^-1),  a12*M]
+#   J2 = [p11*M@Jr_inv + p12*M@B2,                p12*M@Jr_inv]
+#
+# with A1 = -Jr_inv Ad(T12)^-1, B1 = -1/2 ad(v2) A1, B2 = -1/2 ad(v2) Jr_inv.
+# Algebraically identical to mono/stereo_gp_residual_jac (tested to 1e-12).
+
+
+@exact
+def gp_pair_pack(T1, v1, T2, v2):
+    """Per-pose-pair quantities shared by all GP edges on (T1,v1)->(T2,v2)."""
+    xi12 = lie.log_se3(smm(lie.se3_inv(T1), T2))
+    Jr_inv = lie.right_jacobian_pose3_inv(xi12)
+    nu2 = smm(Jr_inv, v2)
+    ad_v2 = lie.se3_ad(v2)
+    A1 = -smm(Jr_inv, lie.adj_se3(lie.se3_inv(lie.exp_se3(xi12))))
+    B1 = -0.5 * smm(ad_v2, A1)
+    B2 = -0.5 * smm(ad_v2, Jr_inv)
+    return {"xi12": xi12, "nu2": nu2, "Jr_inv": Jr_inv, "A1": A1,
+            "B1": B1, "B2": B2}
+
+
+def _gp_edge_core(pack, T1, v1, t1, t2, t, Tbc, Xw, dtype):
+    """Shared per-edge geometry: interpolated pose + camera point + the
+    pair-pack scalar coefficients."""
+    a11, a12, p11, p12 = gp.interp_coeffs(t1, t2, t)
+    dxi = a12 * v1 + p11 * pack["xi12"] + p12 * pack["nu2"]
+    dT = lie.exp_se3(dxi)
+    Twb = smm(T1, dT)
+    Tcb = lie.se3_inv(Tbc)
+    Xb = lie.transform_point(lie.se3_inv(Twb), Xw)
+    Xc = lie.transform_point(Tcb, Xb)
+    Ad_dT = lie.adj_se3(lie.se3_inv(dT))
+    Jr_dxi = lie.right_jacobian_pose3(dxi)
+    return (a12, p11, p12), Twb, Tcb, Xb, Xc, Ad_dT, Jr_dxi
+
+
+def _gp_jac_from_M(M, J1cam, Ad_dT, pack, coeffs):
+    a12, p11, p12 = coeffs
+    J1 = jnp.concatenate(
+        [p11 * smm(M, pack["A1"]) + p12 * smm(M, pack["B1"]) + smm(J1cam, Ad_dT),
+         a12 * M],
+        axis=1,
+    )
+    MJr = smm(M, pack["Jr_inv"])
+    J2 = jnp.concatenate([p11 * MJr + p12 * smm(M, pack["B2"]), p12 * MJr], axis=1)
+    return J1, J2
+
+
+@exact
+def mono_gp_residual_jac_packed(pack, T1, v1, t1, t2, t, Tbc, K, Xw, obs):
+    """Fast-path EdgeMonoGP[Extrinsic] evaluation from a pair pack.
+
+    Returns (r, J1 (2,12), J2 (2,12), J_point (2,3), J_ext (2,6), Xc) —
+    identical to mono_gp_residual_jac.
+    """
+    dtype = T1.dtype
+    coeffs, Twb, Tcb, Xb, Xc, Ad_dT, Jr_dxi = _gp_edge_core(
+        pack, T1, v1, t1, t2, t, Tbc, Xw, dtype
+    )
+    r = obs - project_pinhole(K, Xc)
+    pj = project_jac_pinhole(K, Xc)
+    Rcb = Tcb[:3, :3]
+    J1cam = -smm(pj, _se3_deriv(Rcb, Xb))
+    M = smm(J1cam, Jr_dxi)
+    J1, J2 = _gp_jac_from_M(M, J1cam, Ad_dT, pack, coeffs)
+    J_point = -smm(smm(pj, Rcb), Twb[:3, :3].T)
+    J_ext = -smm(pj, jnp.concatenate([-jnp.eye(3, dtype=dtype), lie.hat(Xc)], axis=1))
+    return r, J1, J2, J_point, J_ext, Xc
+
+
+@exact
+def stereo_gp_residual_jac_packed(pack, T1, v1, t1, t2, t, Tbc, K, bf, Xw, obs):
+    """Fast-path EdgeStereoGP evaluation from a pair pack."""
+    dtype = T1.dtype
+    coeffs, Twb, Tcb, Xb, Xc, Ad_dT, Jr_dxi = _gp_edge_core(
+        pack, T1, v1, t1, t2, t, Tbc, Xw, dtype
+    )
+    r = obs - project_stereo(K, bf, Xc)
+    pj = project_jac_stereo(K, bf, Xc)
+    Rcb = Tcb[:3, :3]
+    J1cam = -smm(pj, _se3_deriv(Rcb, Xb))
+    M = smm(J1cam, Jr_dxi)
+    J1, J2 = _gp_jac_from_M(M, J1cam, Ad_dT, pack, coeffs)
+    J_point = -smm(smm(pj, Rcb), Twb[:3, :3].T)
+    return r, J1, J2, J_point, Xc

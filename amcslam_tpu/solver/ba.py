@@ -126,28 +126,47 @@ def _inv3x3(A):
     return co / det[..., None, None]
 
 
+def _pair_packs(data: LocalBAData, state: BAState, sid_cols):
+    """Per-structure GP pair packs: unique (pose_i, pose_j) chains computed
+    once (~K structures) and gathered per edge — see
+    factors/reprojection.py gp_pair_pack."""
+    i_s = sid_cols[:, 0] // 12
+    j_s = sid_cols[:, 12] // 12
+    return jax.vmap(
+        lambda i, j: reprojection.gp_pair_pack(
+            state.T[i], state.v[i], state.T[j], state.v[j]
+        )
+    )(i_s, j_s)
+
+
 def _mono_gp_eval(data: LocalBAData, state: BAState):
-    def one(pair, lm, cam, t, obs):
+    packs = _pair_packs(data, state, data.mg_sid_cols)
+    pack_e = jax.tree.map(lambda a: a[data.mg_sid], packs)
+
+    def one(pair, lm, cam, t, obs, pack):
         i, j = pair[0], pair[1]
-        return reprojection.mono_gp_residual_jac(
-            state.T[i], state.v[i], data.times[i],
-            state.T[j], state.v[j], data.times[j],
+        return reprojection.mono_gp_residual_jac_packed(
+            pack, state.T[i], state.v[i], data.times[i], data.times[j],
             t, state.Text[cam], data.K_async[cam], state.X[lm], obs,
         )
 
-    return jax.vmap(one)(data.mg_pair, data.mg_lm, data.mg_cam, data.mg_t, data.mg_obs)
+    return jax.vmap(one)(
+        data.mg_pair, data.mg_lm, data.mg_cam, data.mg_t, data.mg_obs, pack_e
+    )
 
 
 def _stereo_gp_eval(data: LocalBAData, state: BAState):
-    def one(pair, lm, t, obs):
+    packs = _pair_packs(data, state, data.sg_sid_cols)
+    pack_e = jax.tree.map(lambda a: a[data.sg_sid], packs)
+
+    def one(pair, lm, t, obs, pack):
         i, j = pair[0], pair[1]
-        return reprojection.stereo_gp_residual_jac(
-            state.T[i], state.v[i], data.times[i],
-            state.T[j], state.v[j], data.times[j],
+        return reprojection.stereo_gp_residual_jac_packed(
+            pack, state.T[i], state.v[i], data.times[i], data.times[j],
             t, data.Tbc_stereo, data.K_stereo, data.bf, state.X[lm], obs,
         )
 
-    return jax.vmap(one)(data.sg_pair, data.sg_lm, data.sg_t, data.sg_obs)
+    return jax.vmap(one)(data.sg_pair, data.sg_lm, data.sg_t, data.sg_obs, pack_e)
 
 
 def _stereo_eval(data: LocalBAData, state: BAState):

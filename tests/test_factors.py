@@ -185,3 +185,30 @@ def test_vel_reproj_jac():
 
     J_fd = np.asarray(jax.jacfwd(f)(jnp.zeros(6, F64)))
     np.testing.assert_allclose(np.asarray(J), J_fd, atol=1e-6, rtol=1e-4)
+
+
+def test_packed_gp_eval_matches_reference_path():
+    """The packed per-pair fast path must reproduce mono/stereo GP factor
+    evaluation exactly (same math, reassociated)."""
+    T1, v1, T2, v2, Tbc, K, Xw, obs, rng = setup(8)
+    t1, t2, t = 0.0, 0.1, 0.033
+    pack = reprojection.gp_pair_pack(T1, v1, T2, v2)
+    ref_out = reprojection.mono_gp_residual_jac(
+        T1, v1, t1, T2, v2, t2, t, Tbc, K, Xw, obs
+    )
+    fast_out = reprojection.mono_gp_residual_jac_packed(
+        pack, T1, v1, t1, t2, t, Tbc, K, Xw, obs
+    )
+    for a, b in zip(ref_out, fast_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+    bf = jnp.asarray(40.0, F64)
+    obs3 = jnp.concatenate([obs, obs[:1] - 2.0])
+    ref_s = reprojection.stereo_gp_residual_jac(
+        T1, v1, t1, T2, v2, t2, t, Tbc, K, bf, Xw, obs3
+    )
+    fast_s = reprojection.stereo_gp_residual_jac_packed(
+        pack, T1, v1, t1, t2, t, Tbc, K, bf, Xw, obs3
+    )
+    for a, b in zip(ref_s, fast_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
