@@ -517,19 +517,6 @@ class Tracking:
                 return True
         return False
 
-
-class _FrameAsKF:
-    """Adapter: lets the keyframe database score a plain Frame query."""
-
-    def __init__(self, frame: Frame):
-        self.id = -1
-        self.descriptors = frame.descriptors
-        self.covisibility = {}
-
-    def best_covisible(self, n):
-        return []
-
-
     def _add_gp_observations(self, frame: Frame):
         """Attach this (non-keyframe) frame's inlier matches as GPObs records
         on their map points, anchored at the reference keyframe — consumed by
@@ -558,3 +545,15 @@ class _FrameAsKF:
                     octave=int(frame.kp_octaves[cam][local]),
                 ),
             )
+
+
+class _FrameAsKF:
+    """Adapter: lets the keyframe database score a plain Frame query."""
+
+    def __init__(self, frame: Frame):
+        self.id = -1
+        self.descriptors = frame.descriptors
+        self.covisibility = {}
+
+    def best_covisible(self, n):
+        return []
