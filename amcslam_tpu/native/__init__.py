@@ -6,9 +6,10 @@ the pure-Python paths when a compiler is unavailable (`available()` gates).
 
 from __future__ import annotations
 
+import hashlib
+import importlib.util
 import os
 import subprocess
-import sys
 import sysconfig
 
 import numpy as np
@@ -24,9 +25,15 @@ def _build_and_load():
     _tried = True
     here = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(here, "graph_builder.cpp")
+    # Cache keyed on source hash — the artifact name embeds it, plus the
+    # Python/ABI/platform tag via EXT_SUFFIX, so a binary built with
+    # -march=native on another host or Python is never reused (it would
+    # SIGILL or fail to import). Artifacts are gitignored.
+    with open(src, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:12]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    out = os.path.join(here, "_graph_builder" + suffix)
-    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+    out = os.path.join(here, f"_graph_builder_{tag}" + suffix)
+    if not os.path.exists(out):
         include = sysconfig.get_paths()["include"]
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
@@ -36,32 +43,39 @@ def _build_and_load():
             subprocess.run(cmd, check=True, capture_output=True, timeout=180)
         except Exception:
             return None
-    sys.path.insert(0, here)
     try:
-        import _graph_builder as mod  # noqa: PLC0415
-
+        spec = importlib.util.spec_from_file_location("_graph_builder", out)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
         _mod = mod
     except ImportError:
         _mod = None
-    finally:
-        sys.path.pop(0)
     return _mod
+
+
+def _require():
+    mod = _build_and_load()
+    if mod is None:
+        raise RuntimeError(
+            "amcslam_tpu.native: C++ extension unavailable (no toolchain or "
+            "build failed); gate calls with native.available()"
+        )
+    return mod
 
 
 def available() -> bool:
     return _build_and_load() is not None
 
 
-def build_obs_edges(matches, kf_of_kp, cam_of_kp, local_of_kp, prev_slot,
+def build_obs_edges(matches, kf_of_kp, cam_of_kp, prev_slot,
                     lm_keys, lm_vals, stereo_cam: int):
     """Native observation-edge extraction. Returns (mono (Em,5), stereo (Es,3))
     float64 arrays with rows [i, j, lm, cam, kp_index] / [pose, lm, kp_index]."""
-    mod = _build_and_load()
+    mod = _require()
     mono_b, st_b = mod.build_obs_edges(
         np.ascontiguousarray(matches, np.int64),
         np.ascontiguousarray(kf_of_kp, np.int32),
         np.ascontiguousarray(cam_of_kp, np.int32),
-        np.ascontiguousarray(local_of_kp, np.int32),
         np.ascontiguousarray(prev_slot, np.int32),
         np.ascontiguousarray(lm_keys, np.int64),
         np.ascontiguousarray(lm_vals, np.int32),
@@ -74,7 +88,7 @@ def build_obs_edges(matches, kf_of_kp, cam_of_kp, local_of_kp, prev_slot,
 
 def hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Native popcount Hamming table for (N,32)x(M,32) uint8 descriptors."""
-    mod = _build_and_load()
+    mod = _require()
     out = mod.hamming_matrix(
         np.ascontiguousarray(a, np.uint8), np.ascontiguousarray(b, np.uint8)
     )

@@ -12,7 +12,6 @@
 //   build_obs_edges(matches (sum_Nk,) int64,   // mp id per global kp, -1
 //                   kf_of_kp (sum_Nk,) int32,  // owning KF slot per kp
 //                   cam_of_kp (sum_Nk,) int32, // camera per kp
-//                   local_of_kp (sum_Nk,) int32,
 //                   prev_slot (K,) int32,      // temporal-prev slot or -1
 //                   lm_slot_keys (M,) int64, lm_slot_vals (M,) int32,
 //                   // sorted map: map-point id -> landmark slot
@@ -61,15 +60,15 @@ int64_t lookup(const int64_t* keys, const int32_t* vals, Py_ssize_t m,
 }
 
 PyObject* build_obs_edges(PyObject*, PyObject* args) {
-  PyObject *o_matches, *o_kf, *o_cam, *o_local, *o_prev, *o_keys, *o_vals;
+  PyObject *o_matches, *o_kf, *o_cam, *o_prev, *o_keys, *o_vals;
   int n_stereo_cam;
-  if (!PyArg_ParseTuple(args, "OOOOOOOi", &o_matches, &o_kf, &o_cam, &o_local,
+  if (!PyArg_ParseTuple(args, "OOOOOOi", &o_matches, &o_kf, &o_cam,
                         &o_prev, &o_keys, &o_vals, &n_stereo_cam))
     return nullptr;
 
-  Buf b_matches, b_kf, b_cam, b_local, b_prev, b_keys, b_vals;
+  Buf b_matches, b_kf, b_cam, b_prev, b_keys, b_vals;
   if (!b_matches.acquire(o_matches) || !b_kf.acquire(o_kf) ||
-      !b_cam.acquire(o_cam) || !b_local.acquire(o_local) ||
+      !b_cam.acquire(o_cam) ||
       !b_prev.acquire(o_prev) || !b_keys.acquire(o_keys) ||
       !b_vals.acquire(o_vals))
     return nullptr;
@@ -77,7 +76,6 @@ PyObject* build_obs_edges(PyObject*, PyObject* args) {
   const int64_t* matches = static_cast<const int64_t*>(b_matches.view.buf);
   const int32_t* kf_of = static_cast<const int32_t*>(b_kf.view.buf);
   const int32_t* cam_of = static_cast<const int32_t*>(b_cam.view.buf);
-  const int32_t* local_of = static_cast<const int32_t*>(b_local.view.buf);
   const int32_t* prev_slot = static_cast<const int32_t*>(b_prev.view.buf);
   const int64_t* keys = static_cast<const int64_t*>(b_keys.view.buf);
   const int32_t* vals = static_cast<const int32_t*>(b_vals.view.buf);

@@ -68,16 +68,20 @@ class LocalMapping:
 
     def cull_map_points(self, kf: KeyFrame):
         """LocalMapping::MapPointCulling (:273): found-ratio < 0.25 or too few
-        observations within 2 KFs of creation."""
+        observations within 2 KFs of creation. Probation ages count
+        *keyframes* (kf_seq), not raw ids — ids come from a counter shared
+        with Frames/MapPoints so consecutive KFs differ by 100+ ids."""
         keep = []
         for mp in self.recent_points:
             if mp.bad:
                 continue
+            first = self.map.keyframes.get(mp.first_kf_id)
+            age = kf.kf_seq - first.kf_seq if first is not None else 3
             if mp.found_ratio() < 0.25:
                 self.map.erase_map_point(mp)
-            elif kf.id - mp.first_kf_id >= 2 and mp.n_obs() <= 2:
+            elif age >= 2 and mp.n_obs() <= 2:
                 self.map.erase_map_point(mp)
-            elif kf.id - mp.first_kf_id >= 3:
+            elif age >= 3:
                 pass  # survived probation
             else:
                 keep.append(mp)

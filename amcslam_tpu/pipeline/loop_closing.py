@@ -42,6 +42,7 @@ class LoopClosing:
         self.min_matches = min_matches
         self.consistency_needed = consistency_needed
         self.n_coincidences = 0
+        self.n_not_found = 0
         self.candidate: KeyFrame | None = None
         self.queue: list[KeyFrame] = []
         self.loops_closed = 0
@@ -95,24 +96,63 @@ class LoopClosing:
         return mps, descs
 
     def detect_common_regions(self, kf: KeyFrame):
-        """NewDetectCommonRegions (LoopClosing.cc:194-733), batched RANSAC."""
+        """NewDetectCommonRegions (LoopClosing.cc:194-733), batched RANSAC.
+
+        Temporal consistency accumulates ACROSS successive keyframes: once a
+        candidate passes geometric verification it is stored as a pending
+        hypothesis and re-verified against each subsequent keyframe
+        (DetectAndReffineSim3FromLastKF, LoopClosing.cc:239-285) until
+        `consistency_needed` successive verifications confirm the loop. Up
+        to two consecutive verification misses are tolerated before the
+        hypothesis is dropped (mnLoopNumNotFound semantics).
+        """
+        # re-verify a pending hypothesis against this keyframe first
+        if self.candidate is not None:
+            S12 = self._try_pair(kf, self.candidate)
+            if S12 is not None:
+                self.n_coincidences += 1
+                self.n_not_found = 0
+                if self.n_coincidences >= self.consistency_needed:
+                    cand = self.candidate
+                    self._reset_hypothesis()
+                    return cand, S12
+                return None
+            self.n_not_found += 1
+            if self.n_not_found >= 2:
+                self._reset_hypothesis()
+            return None
+
+        # no pending hypothesis: query the database for a fresh one
         exclude = {kf.id} | set(kf.covisibility)
         cands = self.kfdb.detect_n_best_candidates(kf, 3, exclude)
         for cand in cands:
-            mps1, mps2 = self._match_keyframes(kf, cand)
-            if len(mps1) < self.min_matches:
+            S12 = self._try_pair(kf, cand)
+            if S12 is None:
                 continue
-            S12, n_inl, inliers = self._solve_sim3(kf, cand, mps1, mps2)
-            if S12 is None or int(n_inl) < self.min_matches:
-                continue
-            self.n_coincidences += 1
             self.candidate = cand
-            if self.n_coincidences >= self.consistency_needed - 1:
-                self.n_coincidences = 0
+            self.n_coincidences = 1
+            self.n_not_found = 0
+            if self.n_coincidences >= self.consistency_needed:
+                self._reset_hypothesis()
                 return cand, S12
-        else:
-            self.n_coincidences = 0
+            return None
         return None
+
+    def _reset_hypothesis(self):
+        self.candidate = None
+        self.n_coincidences = 0
+        self.n_not_found = 0
+
+    def _try_pair(self, kf: KeyFrame, cand: KeyFrame):
+        """Match + Sim3-verify one (current, candidate) pair; the Sim3 maps
+        candidate body coords into current body coords, or None."""
+        mps1, mps2 = self._match_keyframes(kf, cand)
+        if len(mps1) < self.min_matches:
+            return None
+        S12, n_inl, _ = self._solve_sim3(kf, cand, mps1, mps2)
+        if S12 is None or int(n_inl) < self.min_matches:
+            return None
+        return S12
 
     def _solve_sim3(self, kf1: KeyFrame, kf2: KeyFrame, mps1, mps2):
         """Sim3Solver RANSAC + OptimizeSim3 (LoopClosing.cc:527, :597)."""

@@ -113,6 +113,7 @@ class KeyFrame:
     kp_ur: Optional[np.ndarray] = None   # stereo right-u for last camera
     kp_depth: Optional[np.ndarray] = None
     id: int = field(default_factory=_next_id)
+    kf_seq: int = -1  # keyframe-only sequence number, set by Map.add_keyframe
     # global keypoint index = offset[cam] + local idx
     matches: Optional[np.ndarray] = None  # (Ntot,) MapPoint id or -1
     prev_kf: Optional["KeyFrame"] = None
@@ -245,8 +246,14 @@ class Map:
         self.map_points: dict[int, MapPoint] = {}
         self.change_index = 0
         self.origin_kf: Optional[KeyFrame] = None
+        self._kf_seq = 0
 
     def add_keyframe(self, kf: KeyFrame):
+        # keyframe-only sequence number: ids come from a counter shared with
+        # Frames/MapPoints, so id differences are useless as "how many
+        # keyframes ago" — culling probation (MapPoint.cc) needs this
+        kf.kf_seq = self._kf_seq
+        self._kf_seq += 1
         self.keyframes[kf.id] = kf
         if self.origin_kf is None:
             self.origin_kf = kf

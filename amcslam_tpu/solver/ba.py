@@ -569,6 +569,7 @@ def local_gp_ba(
     b_large: bool = False,
     b_extrinsic: bool = False,
     ext_obs_count=None,
+    ext_min_obs: int = 50,
 ):
     """Full LocalGPBA schedule (Optimizer.cc:1218-1432):
 
@@ -584,7 +585,7 @@ def local_gp_ba(
     new_state, stats = lm_optimize(problem, state, 10, lambda_init=lambda_init)
 
     if b_extrinsic:
-        thresh = 50 if ext_obs_count is None else 50
+        thresh = ext_min_obs
         counts = (
             ext_obs_count
             if ext_obs_count is not None

@@ -27,12 +27,11 @@ def test_build_obs_edges():
     matches = np.array([5, -1, 7, 9, 5, -1, 11, 7], np.int64)
     kf_of = np.array([0, 0, 0, 0, 1, 1, 1, 1], np.int32)
     cam_of = np.array([0, 1, 2, 2, 1, 0, 2, 0], np.int32)
-    local_of = np.zeros(8, np.int32)
     prev_slot = np.array([-1, 0], np.int32)
     lm_keys = np.array([5, 7, 9, 11], np.int64)
     lm_vals = np.array([0, 1, 2, 3], np.int32)
     mono, st = native.build_obs_edges(
-        matches, kf_of, cam_of, local_of, prev_slot, lm_keys, lm_vals, 2
+        matches, kf_of, cam_of, prev_slot, lm_keys, lm_vals, 2
     )
     # stereo rows: kp 2 (kf0, lm 7->1), kp 3 (kf0, lm 9->2), kp 6 (kf1, lm 11->3)
     assert st.shape == (3, 3)
