@@ -33,10 +33,12 @@ class Sim3(NamedTuple):
     t: jax.Array  # (3,)
 
     def matrix(self):
-        T = jnp.zeros((4, 4), self.R.dtype)
-        T = T.at[:3, :3].set(self.s * self.R)
-        T = T.at[:3, 3].set(self.t)
-        return T.at[3, 3].set(1.0)
+        top = jnp.concatenate([self.s * self.R, self.t[:, None]], axis=1)
+        bottom = jnp.concatenate(
+            [jnp.zeros((1, 3), self.R.dtype), jnp.ones((1, 1), self.R.dtype)],
+            axis=1,
+        )
+        return jnp.concatenate([top, bottom], axis=0)
 
 
 def identity(dtype=jnp.float64) -> Sim3:
