@@ -1,16 +1,14 @@
 """Feature front-end (rebuild of src/ORBextractor.cc + Frame construction).
 
-Extraction runs per camera over the host (OpenCV ORB, the same modified-
-orb.cpp lineage as the reference's extractor) with the reference's pyramid
-parameters; the multi-camera fan-out that the reference does with OpenMP
-(Frame.cc:213-227) is a thread pool here. Stereo row-banded matching for
-depth (`ComputeStereoMatches`, Frame.cc:763ff) runs as a batched device
-program: Hamming distances of all left/right candidates in one popcount
-matmul plus row masks, replacing the per-row search loops.
-
-A Pallas FAST/BRIEF path is the natural next step for full on-device
-extraction; the interface (extract() -> keypoints/octaves/descriptors) is
-already device-agnostic.
+Extraction is the from-scratch vectorized ORB pipeline in frontend/orb.py
+(pyramid FAST with per-cell ini/min retry, quadtree distribution to the
+per-level budgets, intensity-centroid orientation, rBRIEF); the
+multi-camera fan-out the reference does with OpenMP (Frame.cc:213-227) is a
+thread pool here. Keypoints are undistorted when the rig carries distortion
+coefficients (Frame.cc:697-737). Stereo row-banded matching for depth
+(`ComputeStereoMatches`, Frame.cc:763ff) runs as a batched device program:
+Hamming distances of all left/right candidates in one popcount matmul plus
+row masks, replacing the per-row search loops.
 """
 
 from __future__ import annotations
@@ -24,6 +22,7 @@ import jax.numpy as jnp
 from ..pipeline.map_store import Frame
 from ..pipeline.matcher import hamming_table
 from ..pipeline.rig import Rig
+from .orb import OrbPipeline, undistort_points
 
 
 class ORBExtractor:
@@ -33,40 +32,20 @@ class ORBExtractor:
 
     def __init__(self, n_features=1200, scale_factor=1.2, n_levels=8,
                  ini_th_fast=20, min_th_fast=7):
-        import cv2
-
-        self._orb = cv2.ORB_create(
-            nfeatures=n_features,
-            scaleFactor=scale_factor,
-            nlevels=n_levels,
-            fastThreshold=ini_th_fast,
-        )
-        self._orb_low = cv2.ORB_create(
-            nfeatures=n_features,
-            scaleFactor=scale_factor,
-            nlevels=n_levels,
-            fastThreshold=min_th_fast,
+        self._orb = OrbPipeline(
+            n_features=n_features, scale_factor=scale_factor,
+            n_levels=n_levels, ini_th=ini_th_fast, min_th=min_th_fast,
         )
         self.n_features = n_features
 
     def set_num(self, n: int):
-        self._orb.setMaxFeatures(n)
-        self._orb_low.setMaxFeatures(n)
+        self.n_features = n
+        self._orb.set_num(n)
 
     def extract(self, image: np.ndarray):
-        """-> (keypoints (N,2), octaves (N,), descriptors (N,32))."""
-        import cv2
-
-        if image.ndim == 3:
-            image = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
-        kps, desc = self._orb.detectAndCompute(image, None)
-        if not kps:  # retry with the low threshold (ini/min semantics)
-            kps, desc = self._orb_low.detectAndCompute(image, None)
-        if not kps:
-            return np.zeros((0, 2)), np.zeros(0, np.int64), np.zeros((0, 32), np.uint8)
-        pts = np.array([k.pt for k in kps])
-        octs = np.array([k.octave for k in kps], np.int64)
-        return pts, octs, desc.astype(np.uint8)
+        """-> (keypoints (N,2), octaves (N,), descriptors (N,32),
+        angles (N,) rad)."""
+        return self._orb.extract(np.asarray(image))
 
 
 def stereo_match_depth(
@@ -119,6 +98,12 @@ def build_frame(
     kps = [r[0] for r in results]
     octs = [r[1] for r in results]
     descs = [r[2] for r in results]
+    angs = [r[3] for r in results]
+    if rig.dist is not None:
+        kps = [
+            undistort_points(kps[c], rig.K[c], rig.dist[c]) if len(kps[c]) else kps[c]
+            for c in range(len(kps))
+        ]
     ur = depth = None
     if right is not None:
         ur, depth = stereo_match_depth(
@@ -134,4 +119,5 @@ def build_frame(
         descriptors=descs,
         kp_ur=ur,
         kp_depth=depth,
+        kp_angles=angs,
     )

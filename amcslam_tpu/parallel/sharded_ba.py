@@ -141,6 +141,47 @@ def shard_ba_data(data: LocalBAData, state: BAState, n_shards: int) -> ShardedBA
         st_valid=jnp.asarray(st_valid),
         st_lm=jnp.asarray(st_lm, jnp.int32),
     )
+    # Per-shard landmark gather tables: each shard's edge arrays are equal
+    # contiguous blocks with LOCAL landmark ids, so tables must be rebuilt
+    # per shard on the local slices (the global tables index the unsharded
+    # layout). Slot widths are padded to the max across shards so the
+    # stacked tables shard along the landmark axis with one static shape.
+    from ..solver.ba import make_landmark_tables
+
+    def blocks(a):
+        a = np.asarray(a)
+        return a.reshape(n_shards, a.shape[0] // n_shards, *a.shape[1:])
+
+    per_shard = []
+    for s in range(n_shards):
+        per_shard.append(
+            make_landmark_tables(
+                blocks(data_s.mg_lm)[s], blocks(data_s.mg_pair)[s],
+                blocks(data_s.mg_cam)[s], blocks(data_s.mg_valid)[s],
+                blocks(data_s.sg_lm)[s], blocks(data_s.sg_pair)[s],
+                blocks(data_s.sg_valid)[s],
+                blocks(data_s.st_lm)[s], blocks(data_s.st_pose)[s],
+                blocks(data_s.st_valid)[s],
+                lm_per, data.n_poses, data.n_ext,
+            )
+        )
+    D = max(t[0].shape[1] for t in per_shard)
+    De = max(t[3].shape[1] for t in per_shard)
+
+    def padw(a, w):
+        return np.pad(a, ((0, 0), (0, w - a.shape[1])))
+
+    tab = [
+        np.concatenate([padw(t[i], D if i < 3 else De) for t in per_shard])
+        for i in range(5)
+    ]
+    data_s = data_s._replace(
+        lm_blk=jnp.asarray(tab[0]),
+        lm_blk_g=jnp.asarray(tab[1]),
+        lm_blk_valid=jnp.asarray(tab[2].astype(bool)),
+        lm_edge=jnp.asarray(tab[3]),
+        lm_edge_valid=jnp.asarray(tab[4].astype(bool)),
+    )
     state_s = state._replace(X=jnp.asarray(Xs))
     return ShardedBA(data_s, state_s, perm_pos, n_shards, lm_per)
 
@@ -152,6 +193,7 @@ def _shard_fields(n_shards):
         "mg_close", "mg_sid", "sg_pair", "sg_lm", "sg_t", "sg_obs", "sg_w", "sg_valid", "sg_sid",
         "st_pose", "st_lm", "st_obs", "st_w", "st_valid", "st_is_stereo",
         "st_close",
+        "lm_blk", "lm_blk_g", "lm_blk_valid", "lm_edge", "lm_edge_valid",
     }
 
 
@@ -236,7 +278,14 @@ def make_sharded_ba_problem(mesh: Mesh, sb: ShardedBA, huber_on=True) -> LMProbl
     dtype = data.mg_obs.dtype
     pose_act = (~data.pose_fixed).astype(dtype)
     ext_act = (~data.ext_fixed).astype(dtype)
-    act_vec = jnp.concatenate([jnp.repeat(pose_act, 12), jnp.repeat(ext_act, 6)])
+    # 12-wide phantom extrinsic column groups (see make_ba_problem)
+    phantom = jnp.tile(
+        jnp.concatenate([jnp.ones(6, dtype), jnp.zeros(6, dtype)]), Cx
+    )
+    act_vec = jnp.concatenate(
+        [jnp.repeat(pose_act, 12), jnp.repeat(ext_act, 12) * phantom]
+    )
+    n_cols = 12 * (K + Cx)
 
     @partial(
         jax.shard_map,
@@ -253,7 +302,12 @@ def make_sharded_ba_problem(mesh: Mesh, sb: ShardedBA, huber_on=True) -> LMProbl
         Y = jnp.einsum("lab,lbp->lap", Hll_inv, Wt)
         corr = jax.lax.psum(jnp.einsum("lap,laq->pq", Y, Wt), axis)
         bcorr = jax.lax.psum(jnp.einsum("lap,la->p", Y, bl), axis)
-        Hs = Hpp + jnp.diag(lam * act_vec + (1.0 - act_vec)) - corr
+        Hs = (
+            Hpp
+            + jnp.eye(n_cols, dtype=dtype)
+            * (lam * act_vec + (1.0 - act_vec))[None, :]
+            - corr
+        )
         bs = bp - bcorr
         Lc, lower = jax.scipy.linalg.cho_factor(Hs)
         dxp = jax.scipy.linalg.cho_solve((Lc, lower), bs)
@@ -284,7 +338,7 @@ def make_sharded_ba_problem(mesh: Mesh, sb: ShardedBA, huber_on=True) -> LMProbl
     def retract(state, dx):
         dxp, dxl = dx
         dpose = dxp[: 12 * K].reshape(K, 12)
-        dext = dxp[12 * K:].reshape(Cx, 6)
+        dext = dxp[12 * K:].reshape(Cx, 12)[:, :6]
         T = jax.vmap(lambda Ti, di: Ti @ lie.exp_se3(di))(state.T, dpose[:, :6])
         Text = jax.vmap(lambda Ti, di: Ti @ lie.exp_se3(di))(state.Text, dext)
         return BAState(T=T, v=state.v + dpose[:, 6:], Text=Text, X=state.X + dxl)

@@ -20,6 +20,11 @@ from .map_store import Frame, KeyFrame, Map
 from .rig import Rig
 
 
+# close-point chi2 relaxation threshold: trackDepth < 10 m
+# (Optimizer.cc:442-524 bClose)
+CLOSE_DEPTH_TH = 10.0
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
     b = minimum
     while b < n:
@@ -42,11 +47,14 @@ def extract_local_ba(
     max_opt: int = 10,
     max_fixed: int = 50,
     dtype=jnp.float32,
+    kf_table: dict | None = None,
 ):
     """Build a LocalGPBA window around `kf` (Optimizer.cc:713-1036 walk).
 
     Returns (data: LocalBAData, state: BAState, handles) where handles maps
-    solver array slots back to map entities for write-back.
+    solver array slots back to map entities for write-back. `kf_table`
+    (Map.keyframes) makes fixed-anchor resolution O(1); without it the
+    temporal chain is walked.
     """
     # --- temporal window via prev_kf chain
     window: list[KeyFrame] = [kf]
@@ -78,7 +86,10 @@ def extract_local_ba(
         for kf_id in mp.observations:
             if kf_id in window_ids or kf_id in fixed_ids:
                 continue
-            other = _kf_by_id(window[0], kf_id)
+            if kf_table is not None:
+                other = kf_table.get(kf_id)
+            else:
+                other = _kf_by_id(window[0], kf_id)
             if other is not None and not other.bad:
                 fixed.append(other)
                 fixed_ids.add(kf_id)
@@ -88,19 +99,51 @@ def extract_local_ba(
             break
 
     kfs = window + fixed  # index order: optimizable first
-    kf_slot = {k.id: i for i, k in enumerate(kfs)}
-    K = len(kfs)
     n_opt = len(window)
+    chain = list(reversed(window))
+    if tail_prev is not None:
+        chain = [tail_prev] + chain
+    return _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype,
+                        gp_huber=False)
+
+
+def extract_global_ba(map_: Map, rig: Rig, dtype=jnp.float32):
+    """Build the full-map BA problem (GlobalBundleAdjustemnt ->
+    BundleAdjustment, Optimizer.cc:53-367): every keyframe, only the origin
+    fixed, GP chain over the whole temporal sequence with Huber delta
+    (Optimizer.cc:130), all landmarks marginalized."""
+    kfs_t = sorted(map_.keyframes.values(), key=lambda k: k.timestamp)
+    if len(kfs_t) < 2:
+        raise ValueError("global BA needs at least two keyframes")
+    # optimizable-first slot order: origin (fixed) goes last
+    kfs = kfs_t[1:] + [kfs_t[0]]
+    n_opt = len(kfs) - 1
+    lms, lm_slot = [], {}
+    for k in kfs:
+        for mp_id in k.matches:
+            if mp_id < 0 or int(mp_id) in lm_slot:
+                continue
+            mp = map_.map_points.get(int(mp_id))
+            if mp is None or mp.bad:
+                continue
+            lm_slot[int(mp_id)] = len(lms)
+            lms.append(mp)
+    return _assemble_ba(kfs, n_opt, lms, lm_slot, kfs_t, rig, dtype,
+                        gp_huber=True)
+
+
+def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
+    """Shared SoA assembly: kfs (optimizable-first), GP chain (temporal KF
+    list), landmarks -> padded LocalBAData/BAState/handles."""
+    kf_slot = {k.id: i for i, k in enumerate(kfs)}
+    kf_map = {k.id: k for k in kfs}
+    K = len(kfs)
 
     # --- pose-level arrays
     times = np.array([k.timestamp for k in kfs])
     pose_fixed = np.arange(K) >= n_opt
     vel_valid = ~pose_fixed
 
-    # GP chain: consecutive temporal pairs among [tail_prev?] + window
-    chain = list(reversed(window))
-    if tail_prev is not None:
-        chain = [tail_prev] + chain
     gp_pairs = []
     for a, b in zip(chain[:-1], chain[1:]):
         gp_pairs.append((kf_slot[a.id], kf_slot[b.id]))
@@ -110,24 +153,33 @@ def extract_local_ba(
 
     # --- observation edges
     mg, sg, st = [], [], []
+    mg_close, st_close = [], []
+
+    def _depth(k, cam, mp):
+        Tcw = np.linalg.inv(k.Twb @ rig.Tbc[cam])
+        return float((Tcw[:3, :3] @ mp.position + Tcw[:3, 3])[2])
+
     for k in kfs:
         s = kf_slot[k.id]
         for gidx, mp_id in enumerate(k.matches):
             if mp_id < 0 or int(mp_id) not in lm_slot:
                 continue
             l = lm_slot[int(mp_id)]
+            mp = lms[l]
             cam, local = k.cam_of_global(gidx)
             uv = k.keypoints[cam][local]
             w = rig.inv_sigma2(k.kp_octaves[cam][local])
             if cam == rig.n_cams - 1:
                 ur = k.kp_ur[local] if k.kp_ur is not None else -1.0
                 st.append((s, l, uv[0], uv[1], ur, w, ur >= 0))
+                st_close.append(_depth(k, cam, mp) < CLOSE_DEPTH_TH)
             else:
                 # async camera: GP edge on the (prev, this) pose pair
                 if k.prev_kf is not None and k.prev_kf.id in kf_slot:
                     i = kf_slot[k.prev_kf.id]
                     t = k.cam_times[cam]
                     mg.append((i, s, l, cam, t, uv[0], uv[1], w))
+                    mg_close.append(_depth(k, cam, mp) < CLOSE_DEPTH_TH)
         # non-keyframe GPObs records attached to this KF's interval
         # (BundleAdjustment/LocalGPBA consume them against (KF, nextKF))
     for mp in lms:
@@ -135,8 +187,8 @@ def extract_local_ba(
         for kf_id, obs in mp.gp_observations:
             if kf_id not in kf_slot:
                 continue
-            k = _kf_by_id(window[0], kf_id)
-            if k is None or k.next_kf is None or k.next_kf.id not in kf_slot:
+            k = kf_map[kf_id]
+            if k.next_kf is None or k.next_kf.id not in kf_slot:
                 continue
             i, j = kf_slot[kf_id], kf_slot[k.next_kf.id]
             w = rig.inv_sigma2(obs.octave)
@@ -144,6 +196,7 @@ def extract_local_ba(
                 sg.append((i, j, l, obs.time, obs.uv[0], obs.uv[1], obs.ur, w))
             else:
                 mg.append((i, j, l, obs.cam, obs.time, obs.uv[0], obs.uv[1], w))
+                mg_close.append(_depth(k, obs.cam, mp) < CLOSE_DEPTH_TH)
 
     Em, Eg, Es = _bucket(max(len(mg), 1)), _bucket(max(len(sg), 1)), _bucket(max(len(st), 1))
     mg_a = np.array(mg) if mg else np.zeros((0, 8))
@@ -169,7 +222,7 @@ def extract_local_ba(
         gp_pairs=jnp.asarray(_pad(gp_pairs, max(len(gp_pairs), 1)), jnp.int32),
         gp_qi_inv=jnp.asarray(_pad(gp_qi_inv, max(len(gp_pairs), 1)), dtype),
         gp_valid=jnp.asarray(_pad(np.ones(len(gp_pairs), bool), max(len(gp_pairs), 1), False)),
-        gp_huber=jnp.asarray(False),
+        gp_huber=jnp.asarray(gp_huber),
         Tbc_stereo=jnp.asarray(rig.Tbc[-1], dtype),
         K_stereo=jnp.asarray(rig.K[-1], dtype),
         bf=jnp.asarray(rig.bf, dtype),
@@ -184,7 +237,7 @@ def extract_local_ba(
         mg_obs=jnp.asarray(_pad(mg_a[:, 5:7], Em), dtype),
         mg_w=jnp.asarray(_pad(mg_a[:, 7] if mg_a.size else np.zeros(0), Em), dtype),
         mg_valid=jnp.asarray(_pad(np.ones(len(mg), bool), Em, False)),
-        mg_close=jnp.asarray(np.zeros(Em, bool)),
+        mg_close=jnp.asarray(_pad(np.asarray(mg_close, bool), Em, False)),
         mg_sid=jnp.asarray(mg_sid),
         mg_sid_cols=jnp.asarray(mg_sid_cols),
         sg_pair=jnp.asarray(_pad(sg_a[:, :2], Eg), jnp.int32),
@@ -201,10 +254,13 @@ def extract_local_ba(
         st_w=jnp.asarray(_pad(st_a[:, 5] if st_a.size else np.zeros(0), Es), dtype),
         st_valid=jnp.asarray(_pad(np.ones(len(st), bool), Es, False)),
         st_is_stereo=jnp.asarray(_pad(st_a[:, 6] if st_a.size else np.zeros(0), Es).astype(bool)),
-        st_close=jnp.asarray(np.zeros(Es, bool)),
+        st_close=jnp.asarray(_pad(np.asarray(st_close, bool), Es, False)),
     )
 
     L = _bucket(max(len(lms), 1))
+    from ..solver.ba import with_landmark_tables
+
+    data = with_landmark_tables(data, L)
     X = _pad(np.stack([mp.position for mp in lms]) if lms else np.zeros((0, 3)), L)
     state = BAState(
         T=jnp.asarray(np.stack([k.Twb for k in kfs]), dtype),
@@ -252,6 +308,48 @@ def apply_local_ba(result_state: BAState, handles, mp_table: dict):
         mp.position = X[l]
 
 
+def apply_global_ba(result_state: BAState, handles, map_: Map):
+    """Staged global-BA write-back (RunGlobalBundleAdjustment,
+    LoopClosing.cc:1221-1339 mTbwGBA semantics): optimized poses/landmarks
+    apply after convergence; keyframes created while GBA ran (absent from
+    the problem) are corrected through their prev-chain parent's delta, and
+    landmarks outside the problem through their reference keyframe's delta.
+    """
+    T = np.asarray(result_state.T)
+    v = np.asarray(result_state.v)
+    X = np.asarray(result_state.X)
+    in_problem = {}
+    delta = {}  # kf_id -> Twb_after @ inv(Twb_before)
+    for i, kf in enumerate(handles["kfs"]):
+        in_problem[kf.id] = i
+        delta[kf.id] = T[i] @ np.linalg.inv(kf.Twb)  # identity for the origin
+    for i, kf in enumerate(handles["kfs"]):
+        if i < handles["n_opt"]:
+            kf.set_pose(T[i])
+            kf.velocity = v[i]
+    # propagate to keyframes created during GBA via the temporal chain
+    for kf in sorted(map_.keyframes.values(), key=lambda k: k.timestamp):
+        if kf.id in in_problem:
+            continue
+        parent = kf.prev_kf
+        d = delta.get(parent.id) if parent is not None else None
+        if d is None:
+            d = np.eye(4)
+        delta[kf.id] = d
+        kf.set_pose(d @ kf.Twb)
+    lm_in = set()
+    for l, mp in enumerate(handles["lms"]):
+        mp.position = X[l]
+        lm_in.add(mp.id)
+    for mp in map_.map_points.values():
+        if mp.id in lm_in or mp.bad:
+            continue
+        d = delta.get(mp.first_kf_id)
+        if d is not None:
+            mp.position = d[:3, :3] @ mp.position + d[:3, 3]
+    map_.increase_change_index()
+
+
 def extract_pose_problem(
     frame: Frame,
     prev_frame: Frame,
@@ -273,17 +371,20 @@ def extract_pose_problem(
         cam, local = frame.cam_of_global(gidx)
         uv = frame.keypoints[cam][local]
         w = rig.inv_sigma2(frame.kp_octaves[cam][local])
+        Tcw = np.linalg.inv(frame.Twb @ rig.Tbc[cam])
+        close = (Tcw[:3, :3] @ mp.position + Tcw[:3, 3])[2] < CLOSE_DEPTH_TH
         if cam != rig.n_cams - 1:
-            mg.append((*mp.position, frame.cam_times[cam], cam, uv[0], uv[1], w))
+            mg.append((*mp.position, frame.cam_times[cam], cam, uv[0], uv[1],
+                       w, close))
             mg_idx.append(gidx)
         else:
             ur = frame.kp_ur[local] if frame.kp_ur is not None else -1.0
-            st.append((*mp.position, uv[0], uv[1], ur, w, ur >= 0))
+            st.append((*mp.position, uv[0], uv[1], ur, w, ur >= 0, close))
             st_idx.append(gidx)
 
     Nm, Ns = _bucket(max(len(mg), 1)), _bucket(max(len(st), 1))
-    mg_a = np.array(mg) if mg else np.zeros((0, 8))
-    st_a = np.array(st) if st else np.zeros((0, 8))
+    mg_a = np.array(mg) if mg else np.zeros((0, 9))
+    st_a = np.array(st) if st else np.zeros((0, 9))
 
     dt = frame.timestamp - prev_frame.timestamp
     data = PoseGPData(
@@ -301,13 +402,13 @@ def extract_pose_problem(
         mg_cam=jnp.asarray(_pad(mg_a[:, 4], Nm), jnp.int32),
         mg_w=jnp.asarray(_pad(mg_a[:, 7] if mg_a.size else np.zeros(0), Nm), dtype),
         mg_valid=jnp.asarray(_pad(np.ones(len(mg), bool), Nm, False)),
-        mg_close=jnp.asarray(np.zeros(Nm, bool)),
+        mg_close=jnp.asarray(_pad(mg_a[:, 8] if mg_a.size else np.zeros(0), Nm).astype(bool)),
         st_obs=jnp.asarray(_pad(st_a[:, 3:6], Ns), dtype),
         st_Xw=jnp.asarray(_pad(st_a[:, 0:3], Ns), dtype),
         st_w=jnp.asarray(_pad(st_a[:, 6] if st_a.size else np.zeros(0), Ns), dtype),
         st_valid=jnp.asarray(_pad(np.ones(len(st), bool), Ns, False)),
         st_is_stereo=jnp.asarray(_pad(st_a[:, 7] if st_a.size else np.zeros(0), Ns).astype(bool)),
-        st_close=jnp.asarray(np.zeros(Ns, bool)),
+        st_close=jnp.asarray(_pad(st_a[:, 8] if st_a.size else np.zeros(0), Ns).astype(bool)),
     )
     state = PoseState(
         T=jnp.asarray(np.stack([prev_frame.Twb, frame.Twb]), dtype),

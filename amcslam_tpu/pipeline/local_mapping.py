@@ -88,10 +88,34 @@ class LocalMapping:
         self.recent_points = keep
 
     # ------------------------------------------------------------------
+    def _camera_Twc(self, kf: KeyFrame, cam: int) -> np.ndarray:
+        """Per-camera pose at that camera's own timestamp: the stereo camera
+        is at the KF time; async cameras GP-interpolate between the previous
+        keyframe and this one (GetCameraPose semantics, KeyFrame.cc:116-145 /
+        LocalMapping.cc:360-393)."""
+        if cam == self.rig.n_cams - 1:
+            return kf.Twb @ self.rig.Tbc[cam]
+        t = float(kf.cam_times[cam])
+        prev = kf.prev_kf
+        if prev is not None and prev.timestamp < t < kf.timestamp:
+            from .tracking import interp_camera_pose
+
+            Twb_t = interp_camera_pose(
+                prev.Twb, prev.velocity, prev.timestamp,
+                kf.Twb, kf.velocity, kf.timestamp, t,
+            )
+        else:
+            # constant-twist extrapolation from the KF's own state
+            from .tracking import _np_exp_se3
+
+            Twb_t = kf.Twb @ _np_exp_se3(kf.velocity * (t - kf.timestamp))
+        return Twb_t @ self.rig.Tbc[cam]
+
     def create_new_map_points(self, kf: KeyFrame, n_neighbors: int = 10):
-        """LocalMapping::CreateNewMapPoints (:311): epipolar-gated descriptor
-        matching against covisible + temporal neighbors, then one batched DLT
-        triangulation for all candidate pairs."""
+        """LocalMapping::CreateNewMapPoints (:311-393): epipolar-gated
+        descriptor matching against covisible + temporal neighbors THROUGH
+        EVERY CAMERA (each at its own GP-interpolated pose), then one
+        batched DLT triangulation over all candidate pairs of all cameras."""
         neighbors = [
             self.map.keyframes[i]
             for i in kf.best_covisible(n_neighbors)
@@ -100,50 +124,56 @@ class LocalMapping:
         if kf.prev_kf is not None and kf.prev_kf not in neighbors:
             neighbors.append(kf.prev_kf)
 
-        cam = self.rig.n_cams - 1  # stereo/reference camera epipolar search
-        K4 = self.rig.K[cam]
-        Km = np.array([[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1.0]])
-        Twc1 = kf.Twb @ self.rig.Tbc[cam]
-        Tcw1 = np.linalg.inv(Twc1)
-        kp1 = kf.keypoints[cam]
-        d1 = kf.descriptors[cam]
-        free1 = np.array([
-            kf.matches[kf.global_index(cam, i)] < 0 for i in range(len(kp1))
-        ]) if len(kp1) else np.zeros(0, bool)
-
         tri_r1, tri_r2, tri_T1, tri_T2, tri_meta = [], [], [], [], []
-        for nb in neighbors:
-            Twc2 = nb.Twb @ self.rig.Tbc[cam]
-            Tcw2 = np.linalg.inv(Twc2)
-            baseline = np.linalg.norm(Twc2[:3, 3] - Twc1[:3, 3])
-            if baseline < 0.05:
+        for cam in range(self.rig.n_cams):
+            kp1 = kf.keypoints[cam]
+            d1 = kf.descriptors[cam]
+            if len(kp1) == 0:
                 continue
-            # fundamental matrix F12 from relative pose (ComputeF12)
-            T12 = Tcw1 @ Twc2
-            R12, t12 = T12[:3, :3], T12[:3, 3]
-            tx = np.array(
-                [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]]
-            )
+            K4 = self.rig.K[cam]
+            Km = np.array([[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1.0]])
             Kinv = np.linalg.inv(Km)
-            F12 = Kinv.T @ tx @ R12 @ Kinv
-            kp2 = nb.keypoints[cam]
-            d2 = nb.descriptors[cam]
-            if len(kp1) == 0 or len(kp2) == 0:
-                continue
-            idx2 = matcher.search_for_triangulation(kp1, d1, kp2, d2, F12.T)
-            for i1, i2 in enumerate(idx2):
-                if i2 < 0 or not free1[i1]:
+            Twc1 = self._camera_Twc(kf, cam)
+            Tcw1 = np.linalg.inv(Twc1)
+            free1 = np.array([
+                kf.matches[kf.global_index(cam, i)] < 0 for i in range(len(kp1))
+            ])
+            for nb in neighbors:
+                kp2 = nb.keypoints[cam]
+                d2 = nb.descriptors[cam]
+                if len(kp2) == 0:
                     continue
-                g2 = nb.global_index(cam, int(i2))
-                if nb.matches[g2] >= 0:
+                Twc2 = self._camera_Twc(nb, cam)
+                Tcw2 = np.linalg.inv(Twc2)
+                baseline = np.linalg.norm(Twc2[:3, 3] - Twc1[:3, 3])
+                if baseline < 0.05:
                     continue
-                r1 = np.linalg.inv(Km) @ np.append(kp1[i1], 1.0)
-                r2 = np.linalg.inv(Km) @ np.append(kp2[int(i2)], 1.0)
-                tri_r1.append(r1 / r1[2])
-                tri_r2.append(r2 / r2[2])
-                tri_T1.append(Tcw1)
-                tri_T2.append(Tcw2)
-                tri_meta.append((i1, nb, int(i2)))
+                # fundamental matrix F12 from relative pose (ComputeF12)
+                T12 = Tcw1 @ Twc2
+                R12, t12 = T12[:3, :3], T12[:3, 3]
+                tx = np.array(
+                    [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]],
+                     [-t12[1], t12[0], 0]]
+                )
+                F12 = Kinv.T @ tx @ R12 @ Kinv
+                idx2 = matcher.search_for_triangulation(
+                    kp1, d1, kp2, d2, F12.T,
+                    ang1=kf.kp_angles[cam] if kf.kp_angles is not None else None,
+                    ang2=nb.kp_angles[cam] if nb.kp_angles is not None else None,
+                )
+                for i1, i2 in enumerate(idx2):
+                    if i2 < 0 or not free1[i1]:
+                        continue
+                    g2 = nb.global_index(cam, int(i2))
+                    if nb.matches[g2] >= 0:
+                        continue
+                    r1 = Kinv @ np.append(kp1[i1], 1.0)
+                    r2 = Kinv @ np.append(kp2[int(i2)], 1.0)
+                    tri_r1.append(r1 / r1[2])
+                    tri_r2.append(r2 / r2[2])
+                    tri_T1.append(Tcw1)
+                    tri_T2.append(Tcw2)
+                    tri_meta.append((cam, i1, nb, int(i2)))
 
         if not tri_r1:
             return 0
@@ -154,23 +184,26 @@ class LocalMapping:
         X = np.asarray(X)
         w = np.asarray(w)
         created = 0
-        for n, (i1, nb, i2) in enumerate(tri_meta):
+        for n, (cam, i1, nb, i2) in enumerate(tri_meta):
             if not np.isfinite(X[n]).all():
                 continue
             # cheirality in both views
-            z1 = (Tcw1[:3, :3] @ X[n] + Tcw1[:3, 3])[2]
+            Tcw1 = tri_T1[n]
             Tcw2 = tri_T2[n]
+            z1 = (Tcw1[:3, :3] @ X[n] + Tcw1[:3, 3])[2]
             z2 = (Tcw2[:3, :3] @ X[n] + Tcw2[:3, 3])[2]
             if z1 <= 0 or z2 <= 0 or abs(w[n]) < 1e-9:
                 continue
             g1 = kf.global_index(cam, i1)
-            if kf.matches[g1] >= 0:
+            g2 = nb.global_index(cam, i2)
+            if kf.matches[g1] >= 0 or nb.matches[g2] >= 0:
                 continue
-            mp = MapPoint(position=X[n], descriptor=d1[i1], first_kf_id=kf.id)
+            mp = MapPoint(position=X[n], descriptor=kf.descriptors[cam][i1],
+                          first_kf_id=kf.id)
             mp.add_observation(kf, cam, g1)
-            mp.add_observation(nb, cam, nb.global_index(cam, i2))
+            mp.add_observation(nb, cam, g2)
             kf.matches[g1] = mp.id
-            nb.matches[nb.global_index(cam, i2)] = mp.id
+            nb.matches[g2] = mp.id
             self.map.add_map_point(mp)
             self.recent_points.append(mp)
             created += 1

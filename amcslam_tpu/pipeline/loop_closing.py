@@ -34,13 +34,14 @@ from .rig import Rig
 class LoopClosing:
     def __init__(self, rig: Rig, map_: Map, kfdb: KeyFrameDatabase | None = None,
                  fix_scale: bool = True, min_matches: int = 20,
-                 consistency_needed: int = 3):
+                 consistency_needed: int = 3, run_global_ba: bool = True):
         self.rig = rig
         self.map = map_
         self.kfdb = kfdb or KeyFrameDatabase()
         self.fix_scale = fix_scale
         self.min_matches = min_matches
         self.consistency_needed = consistency_needed
+        self.run_global_ba = run_global_ba
         self.n_coincidences = 0
         self.n_not_found = 0
         self.candidate: KeyFrame | None = None
@@ -68,32 +69,54 @@ class LoopClosing:
     # ------------------------------------------------------------------
     def _match_keyframes(self, kf1: KeyFrame, kf2: KeyFrame):
         """Descriptor matching between two KFs' map points (SearchByBoW-ish).
-        Returns paired (mp1, mp2) lists of MapPoints."""
-        mps1, d1 = self._kf_points(kf1)
-        mps2, d2 = self._kf_points(kf2)
-        if len(mps1) < 3 or len(mps2) < 3:
-            return [], []
-        idx = matcher.match_descriptors(np.stack(d1), np.stack(d2), max_dist=50)
-        a, b = [], []
+        Returns two parallel observation records (mps, cams, uvs, ws) — the
+        MEASURED keypoint of each match, not a reprojected estimate
+        (Sim3Solver.cc:181-342 checks against measured keypoints)."""
+        rec1 = self._kf_points(kf1)
+        rec2 = self._kf_points(kf2)
+        if len(rec1[0]) < 3 or len(rec2[0]) < 3:
+            return ([], [], [], []), ([], [], [], [])
+        ang1 = np.asarray(rec1[5])
+        ang2 = np.asarray(rec2[5])
+        have_ang = np.isfinite(ang1).all() and np.isfinite(ang2).all()
+        idx = matcher.match_descriptors(
+            np.stack(rec1[4]), np.stack(rec2[4]), max_dist=50,
+            ang1=ang1 if have_ang else None,
+            ang2=ang2 if have_ang else None,
+        )
+        out1 = [[], [], [], []]
+        out2 = [[], [], [], []]
         for i, j in enumerate(idx):
             if j >= 0:
-                a.append(mps1[i])
-                b.append(mps2[int(j)])
-        return a, b
+                for a in range(4):
+                    out1[a].append(rec1[a][i])
+                    out2[a].append(rec2[a][int(j)])
+        return tuple(out1), tuple(out2)
 
     def _kf_points(self, kf: KeyFrame):
-        mps, descs = [], []
+        """(mps, cams, uvs, ws, descs, angs): map points observed by `kf`
+        with the measured keypoint (camera, pixel, invSigma2, angle) of each
+        observation (angle NaN when the keyframe has no angles)."""
+        mps, cams, uvs, ws, descs, angs = [], [], [], [], [], []
         seen = set()
-        for mp_id in kf.matches:
+        for g, mp_id in enumerate(kf.matches):
             if mp_id < 0 or int(mp_id) in seen:
                 continue
             mp = self.map.map_points.get(int(mp_id))
             if mp is None or mp.bad or mp.descriptor is None:
                 continue
             seen.add(int(mp_id))
+            cam, local = kf.cam_of_global(g)
             mps.append(mp)
+            cams.append(cam)
+            uvs.append(np.asarray(kf.keypoints[cam][local], float))
+            ws.append(float(self.rig.inv_sigma2(kf.kp_octaves[cam][local])))
             descs.append(mp.descriptor)
-        return mps, descs
+            angs.append(
+                float(kf.kp_angles[cam][local])
+                if kf.kp_angles is not None else np.nan
+            )
+        return mps, cams, uvs, ws, descs, angs
 
     def detect_common_regions(self, kf: KeyFrame):
         """NewDetectCommonRegions (LoopClosing.cc:194-733), batched RANSAC.
@@ -146,42 +169,43 @@ class LoopClosing:
     def _try_pair(self, kf: KeyFrame, cand: KeyFrame):
         """Match + Sim3-verify one (current, candidate) pair; the Sim3 maps
         candidate body coords into current body coords, or None."""
-        mps1, mps2 = self._match_keyframes(kf, cand)
-        if len(mps1) < self.min_matches:
+        rec1, rec2 = self._match_keyframes(kf, cand)
+        if len(rec1[0]) < self.min_matches:
             return None
-        S12, n_inl, _ = self._solve_sim3(kf, cand, mps1, mps2)
+        S12, n_inl, _ = self._solve_sim3(kf, cand, rec1, rec2)
         if S12 is None or int(n_inl) < self.min_matches:
             return None
         return S12
 
-    def _solve_sim3(self, kf1: KeyFrame, kf2: KeyFrame, mps1, mps2):
-        """Sim3Solver RANSAC + OptimizeSim3 (LoopClosing.cc:527, :597)."""
+    def _solve_sim3(self, kf1: KeyFrame, kf2: KeyFrame, rec1, rec2):
+        """Sim3Solver RANSAC + OptimizeSim3 (LoopClosing.cc:527, :597).
+
+        Verification reprojects the aligned points against the MEASURED
+        keypoints through each observation's own camera, with per-octave
+        chi2 gates (Sim3Solver.cc:181-342 mvnMaxError semantics)."""
+        mps1, cams1, uvs1, ws1 = rec1
+        mps2, cams2, uvs2, ws2 = rec2
         n = len(mps1)
         Tbw1 = np.linalg.inv(kf1.Twb)
         Tbw2 = np.linalg.inv(kf2.Twb)
         Xb1 = np.stack([Tbw1[:3, :3] @ mp.position + Tbw1[:3, 3] for mp in mps1])
         Xb2 = np.stack([Tbw2[:3, :3] @ mp.position + Tbw2[:3, 3] for mp in mps2])
-        cam = self.rig.n_cams - 1
-        Tcb = np.linalg.inv(self.rig.Tbc[cam])
-        K = self.rig.K[cam]
-
-        def proj(Xb):
-            Xc = Xb @ Tcb[:3, :3].T + Tcb[:3, 3]
-            z = np.maximum(Xc[:, 2], 1e-6)
-            return np.stack([K[0] * Xc[:, 0] / z + K[2], K[1] * Xc[:, 1] / z + K[3]], 1)
-
-        obs1 = proj(Xb1)
-        obs2 = proj(Xb2)
+        obs1 = np.stack(uvs1)
+        obs2 = np.stack(uvs2)
+        cams1 = np.asarray(cams1, np.int32)
+        cams2 = np.asarray(cams2, np.int32)
+        w1 = np.asarray(ws1)
+        w2 = np.asarray(ws2)
         Tcb_all = np.stack([np.linalg.inv(T) for T in self.rig.Tbc])
         data = Sim3RansacData(
             Xb1=jnp.asarray(Xb1, jnp.float64),
             Xb2=jnp.asarray(Xb2, jnp.float64),
             obs1=jnp.asarray(obs1, jnp.float64),
             obs2=jnp.asarray(obs2, jnp.float64),
-            cam1=jnp.full(n, cam, jnp.int32),
-            cam2=jnp.full(n, cam, jnp.int32),
-            max_err1=jnp.full(n, 9.21, jnp.float64),
-            max_err2=jnp.full(n, 9.21, jnp.float64),
+            cam1=jnp.asarray(cams1),
+            cam2=jnp.asarray(cams2),
+            max_err1=jnp.asarray(9.21 / w1, jnp.float64),
+            max_err2=jnp.asarray(9.21 / w2, jnp.float64),
             valid=jnp.ones(n, bool),
             K1=jnp.asarray(self.rig.K, jnp.float64),
             K2=jnp.asarray(self.rig.K, jnp.float64),
@@ -194,18 +218,18 @@ class LoopClosing:
         (s, R, t), inl, n_best, _ = sim3_ransac(data, jnp.asarray(samples, jnp.int32))
         if int(n_best) < max(6, self.min_matches // 2):
             return None, 0, None
-        # refinement with paired reprojection edges in camera frames
-        X1c = Xb1 @ Tcb_all[cam, :3, :3].T + Tcb_all[cam, :3, 3]
-        X2c = Xb2 @ Tcb_all[cam, :3, :3].T + Tcb_all[cam, :3, 3]
+        # refinement with paired reprojection edges in the observing cameras
+        X1c = np.einsum("nij,nj->ni", Tcb_all[cams1, :3, :3], Xb1) + Tcb_all[cams1, :3, 3]
+        X2c = np.einsum("nij,nj->ni", Tcb_all[cams2, :3, :3], Xb2) + Tcb_all[cams2, :3, 3]
         pair = Sim3PairData(
             X1=jnp.asarray(X1c, jnp.float64),
             X2=jnp.asarray(X2c, jnp.float64),
             obs1=jnp.asarray(obs1, jnp.float64),
             obs2=jnp.asarray(obs2, jnp.float64),
-            cam1=jnp.full(n, cam, jnp.int32),
-            cam2=jnp.full(n, cam, jnp.int32),
-            w1=jnp.ones(n, jnp.float64),
-            w2=jnp.ones(n, jnp.float64),
+            cam1=jnp.asarray(cams1),
+            cam2=jnp.asarray(cams2),
+            w1=jnp.asarray(w1, jnp.float64),
+            w2=jnp.asarray(w2, jnp.float64),
             valid=jnp.asarray(np.asarray(inl)),
             K1=jnp.asarray(self.rig.K, jnp.float64),
             K2=jnp.asarray(self.rig.K, jnp.float64),
@@ -252,11 +276,100 @@ class LoopClosing:
                 mp.position = delta[:3, :3] @ mp.position + delta[:3, 3]
                 moved_points.add(int(mp_id))
 
-        kf.loop_edges.append(loop_kf.id)
-        loop_kf.loop_edges.append(kf.id)
+        # record the loop edge with its measured relative (post-propagation):
+        # meas C for add_edge(a=other, b=this) is S_this @ S_other^-1; prior
+        # loop edges are re-added in every later essential graph
+        # (Optimizer.cc:1540-1560 spLoopEdges handling)
+        C = np.linalg.inv(kf.Twb) @ loop_kf.Twb
+        kf.loop_edges.append((loop_kf.id, C))
+        loop_kf.loop_edges.append((kf.id, np.linalg.inv(C)))
         self._essential_graph(kf, loop_kf)
+        self._search_and_fuse(kf, loop_kf)
+        if self.run_global_ba:
+            self._run_global_ba()
         self.map.increase_change_index()
         self.loops_closed += 1
+
+    def _search_and_fuse(self, kf: KeyFrame, loop_kf: KeyFrame) -> int:
+        """SearchAndFuse (LoopClosing.cc:1053-1100): project loop-side map
+        points into the corrected current-side keyframes; merge duplicates,
+        keeping the loop-side (established) point."""
+        loop_kfs = [loop_kf] + [
+            self.map.keyframes[i]
+            for i in loop_kf.best_covisible(10)
+            if i in self.map.keyframes
+        ]
+        loop_mps, seen = [], set()
+        for lk in loop_kfs:
+            for mp_id in lk.matches:
+                if mp_id < 0 or int(mp_id) in seen:
+                    continue
+                mp = self.map.map_points.get(int(mp_id))
+                if mp is None or mp.bad or mp.descriptor is None:
+                    continue
+                seen.add(int(mp_id))
+                loop_mps.append(mp)
+        if not loop_mps:
+            return 0
+        pos = np.stack([mp.position for mp in loop_mps])
+        desc = np.stack([mp.descriptor for mp in loop_mps])
+        cam = self.rig.n_cams - 1
+        cur_kfs = [kf] + [
+            self.map.keyframes[i]
+            for i in kf.best_covisible(10)
+            if i in self.map.keyframes
+        ]
+        fused = 0
+        for ck in cur_kfs:
+            if len(ck.keypoints[cam]) == 0:
+                continue
+            Tcw = np.linalg.inv(ck.Twb @ self.rig.Tbc[cam])
+            idx = matcher.search_by_projection(
+                pos, desc, ck.keypoints[cam], ck.descriptors[cam],
+                ck.kp_octaves[cam], Tcw, self.rig.K[cam], radius=4.0,
+                max_dist=matcher.TH_LOW,
+            )
+            for mi, ki in enumerate(idx):
+                if ki < 0:
+                    continue
+                g = ck.global_index(cam, int(ki))
+                cur_id = int(ck.matches[g])
+                mp = loop_mps[mi]
+                if cur_id < 0:
+                    ck.matches[g] = mp.id
+                    mp.add_observation(ck, cam, g)
+                    fused += 1
+                elif cur_id != mp.id and cur_id in self.map.map_points:
+                    other = self.map.map_points[cur_id]
+                    for kf_id, slots in list(other.observations.items()):
+                        okf = self.map.keyframes.get(kf_id)
+                        if okf is None:
+                            continue
+                        for c, gi in enumerate(slots):
+                            if gi >= 0:
+                                okf.matches[gi] = mp.id
+                                mp.add_observation(okf, c, int(gi))
+                    self.map.erase_map_point(other)
+                    fused += 1
+        return fused
+
+    def _run_global_ba(self, num_iterations: int = 10):
+        """RunGlobalBundleAdjustment (LoopClosing.cc:1206-1339): full-map BA
+        after the essential graph; write-back is staged (apply_global_ba
+        propagates to keyframes created while the BA ran)."""
+        if self.map.n_keyframes() < 3:
+            return
+        from .extraction import apply_global_ba, extract_global_ba
+        from ..solver.ba import global_ba
+
+        data, state, handles = extract_global_ba(self.map, self.rig)
+        new_state, stats = jax.jit(
+            lambda d, s: global_ba(d, s, num_iterations)
+        )(data, state)
+        err_end = float(stats.chi2)
+        if not np.isfinite(err_end):
+            return
+        apply_global_ba(new_state, handles, self.map)
 
     def _essential_graph(self, kf: KeyFrame, loop_kf: KeyFrame):
         """OptimizeEssentialGraph over S_cw vertices: spanning/temporal chain
@@ -286,8 +399,18 @@ class LoopClosing:
             for nb_id, w in k.covisibility.items():
                 if w >= 100 and nb_id in slot and nb_id > k.id:
                     add_edge(k, self.map.keyframes[nb_id])
-        # loop edge with the CORRECTED relative (post-propagation poses)
-        add_edge(loop_kf, kf)
+        # loop edges: the current one AND every prior closure's, each with
+        # the relative measured at its own correction time
+        # (Optimizer.cc:1540-1560)
+        done = set()
+        for k in kfs:
+            for other_id, C in k.loop_edges:
+                pair_key = frozenset((k.id, other_id))
+                if other_id not in slot or pair_key in done:
+                    continue
+                done.add(pair_key)
+                pairs.append((slot[other_id], slot[k.id]))
+                meas.append(C)
 
         E = len(pairs)
         data = EssentialGraphData(

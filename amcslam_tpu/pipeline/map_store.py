@@ -112,6 +112,7 @@ class KeyFrame:
     descriptors: list            # per camera: (Nc,32) uint8
     kp_ur: Optional[np.ndarray] = None   # stereo right-u for last camera
     kp_depth: Optional[np.ndarray] = None
+    kp_angles: Optional[list] = None     # per camera: (Nc,) rad
     id: int = field(default_factory=_next_id)
     kf_seq: int = -1  # keyframe-only sequence number, set by Map.add_keyframe
     # global keypoint index = offset[cam] + local idx
@@ -218,6 +219,7 @@ class Frame:
     descriptors: list
     kp_ur: Optional[np.ndarray] = None
     kp_depth: Optional[np.ndarray] = None
+    kp_angles: Optional[list] = None
     id: int = field(default_factory=_next_id)
     matches: Optional[np.ndarray] = None
     outlier: Optional[np.ndarray] = None

@@ -9,11 +9,17 @@ full distance matrices with masked admissibility: at SLAM feature counts
 and removes all host-side branching.
 
 Provided searches (multi-camera aware, SURVEY.md §2.7):
-  * match_descriptors        — mutual-best with ratio + absolute threshold
+  * match_descriptors        — mutual-best with ratio + absolute threshold,
+                               optional rotation-histogram consistency
   * search_by_projection     — map points -> frame through each camera's
-                               GP-interpolated pose with window + rotation
-                               consistency (ORBmatcher.cc:43, :1439)
-  * search_for_triangulation — epipolar-gated matching between keyframes
+                               GP-interpolated pose with pixel window
+                               (ORBmatcher.cc:43, :1439)
+  * search_for_triangulation — epipolar-gated matching between keyframes,
+                               optional rotation-histogram consistency
+  * rotation_consistency     — the reference's rotHist filter: keep only
+                               matches whose keypoint-angle difference falls
+                               in the 3 most-populated of 30 bins
+                               (ORBmatcher.cc rotHist machinery)
 """
 
 from __future__ import annotations
@@ -49,15 +55,49 @@ def hamming_table(d1: jax.Array, d2: jax.Array) -> jax.Array:
     return (s1 + s2.T - 2.0 * dot).astype(jnp.int32)
 
 
+def rotation_consistency(idx: np.ndarray, ang1: np.ndarray, ang2: np.ndarray,
+                         n_bins: int = HISTO_LENGTH, n_keep: int = 3):
+    """Reject matches whose keypoint-angle difference disagrees with the
+    dominant image rotation: histogram the differences into `n_bins` and
+    keep only the `n_keep` most-populated bins (ComputeThreeMaxima +
+    rotHist, ORBmatcher.cc). `idx` is a per-idx1 match array (-1 = none);
+    returns a filtered copy."""
+    idx = np.asarray(idx)
+    valid = idx >= 0
+    if valid.sum() < 3:
+        return idx
+    d = np.degrees(
+        np.asarray(ang1)[valid] - np.asarray(ang2)[idx[valid]]
+    ) % 360.0
+    bins = np.minimum((d * n_bins / 360.0).round().astype(int), n_bins - 1) % n_bins
+    counts = np.bincount(bins, minlength=n_bins)
+    order = np.argsort(-counts)
+    keep_bins = {int(order[0])}
+    # the reference drops bins 2/3 when much smaller than the best
+    if counts[order[1]] > 0.1 * counts[order[0]] and n_keep >= 2:
+        keep_bins.add(int(order[1]))
+    if counts[order[2]] > 0.1 * counts[order[0]] and n_keep >= 3:
+        keep_bins.add(int(order[2]))
+    ok = np.isin(bins, list(keep_bins))
+    out = idx.copy()
+    bad_pos = np.where(valid)[0][~ok]
+    out[bad_pos] = -1
+    return out
+
+
 def match_descriptors(
     d1: np.ndarray,
     d2: np.ndarray,
     max_dist: int = TH_LOW,
     ratio: float = 0.9,
     mutual: bool = True,
+    ang1: np.ndarray | None = None,
+    ang2: np.ndarray | None = None,
 ):
     """Mutual-best Hamming matching with Lowe ratio (SearchByBoW-style
-    gating without the vocabulary buckets). Returns (idx2 per idx1, -1 none)."""
+    gating without the vocabulary buckets). When keypoint angles are given,
+    the rotation-histogram consistency filter applies (ORBmatcher.cc
+    mbCheckOrientation). Returns (idx2 per idx1, -1 none)."""
     if len(d1) == 0 or len(d2) == 0:
         return -np.ones(len(d1), np.int64)
     D = np.asarray(hamming_table(jnp.asarray(d1), jnp.asarray(d2)))
@@ -69,8 +109,10 @@ def match_descriptors(
     if mutual:
         best1 = np.argmin(D, axis=0)
         ok &= best1[best2] == np.arange(len(d1))
-    out = np.where(ok, best2, -1)
-    return out.astype(np.int64)
+    out = np.where(ok, best2, -1).astype(np.int64)
+    if ang1 is not None and ang2 is not None:
+        out = rotation_consistency(out, ang1, ang2)
+    return out
 
 
 def search_by_projection(
@@ -115,10 +157,12 @@ def search_by_projection(
 def search_for_triangulation(
     kp1: np.ndarray, d1: np.ndarray, kp2: np.ndarray, d2: np.ndarray,
     F12: np.ndarray, max_dist: int = TH_LOW, epi_th: float = 3.84,
+    ang1: np.ndarray | None = None, ang2: np.ndarray | None = None,
 ):
     """Epipolar-constrained matching between two keyframes
-    (ORBmatcher::SearchForTriangulation, ORBmatcher.cc:947). Returns idx2 per
-    idx1 (-1 none)."""
+    (ORBmatcher::SearchForTriangulation, ORBmatcher.cc:947), with the
+    rotation-histogram filter when keypoint angles are given. Returns idx2
+    per idx1 (-1 none)."""
     if len(kp1) == 0 or len(kp2) == 0:
         return -np.ones(len(kp1), np.int64)
     x1 = np.concatenate([kp1, np.ones((len(kp1), 1))], 1)
@@ -135,4 +179,7 @@ def search_for_triangulation(
     # mutual check
     best1 = np.argmin(np.where(admissible, D, 1 << 30), axis=0)
     ok = (bestd <= max_dist) & (best1[best] == np.arange(len(kp1)))
-    return np.where(ok, best, -1).astype(np.int64)
+    out = np.where(ok, best, -1).astype(np.int64)
+    if ang1 is not None and ang2 is not None:
+        out = rotation_consistency(out, ang1, ang2)
+    return out

@@ -26,6 +26,7 @@ class Rig:
     scale_factor: float = 1.2
     n_levels: int = 8
     cam_time_offsets: np.ndarray | None = None  # (C,) per-camera offset vs stereo
+    dist: np.ndarray | None = None  # (C,5) radial-tangential k1 k2 p1 p2 k3
 
     def __post_init__(self):
         self.qc_inv_diag = 1.0 / self.qc_diag

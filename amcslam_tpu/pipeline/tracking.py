@@ -76,6 +76,7 @@ class TrackingConfig:
     ransac_threshold: float = 3.0
     max_stereo_seed: int = 100       # stereo-depth landmark seeding cap
     search_radius: float = 7.0
+    th_depth: float = 35.0           # "close" stereo point threshold (mThDepth)
     # localization-only mode (System::ActivateLocalizationMode): track but
     # never create keyframes or modify the map
     localization_only: bool = False
@@ -97,6 +98,8 @@ class Tracking:
         self.last_kf: KeyFrame | None = None
         self.velocity_model = np.zeros(6)  # relative twist between frames
         self.frames_since_kf = 0
+        self.frames_since_reloc = 10**9
+        self.n_inliers = 0
         self.local_mapper = local_mapper
         self.trajectory: list[tuple[float, np.ndarray]] = []
         self._rng = np.random.RandomState(0)
@@ -129,17 +132,25 @@ class Tracking:
 
         # --- relocalization when recently lost (reference: MLPnP RANSAC,
         # stubbed upstream Tracking.cc:1431-1450/2577-2628 — functional here)
+        self.frames_since_reloc += 1
         if self.state == TrackState.RECENTLY_LOST:
             if self._relocalize(frame):
                 self.state = TrackState.OK
+                self.frames_since_reloc = 0
             else:
                 self.last_frame = frame
                 self._record(frame)
                 return self.state
 
-        # --- TrackWithMotionModel (Tracking.cc:1822-1890)
+        # --- TrackWithMotionModel (Tracking.cc:1822-1890), falling back to
+        # TrackReferenceKeyFrame (Tracking.cc:1893) when it yields too few
+        # matches — e.g. after an abrupt motion the constant-twist
+        # prediction misses, but descriptor matching against the reference
+        # keyframe still anchors the frame
         self._predict(frame)
         n = self._track_motion_model(frame)
+        if n < self.cfg.min_track_matches:
+            n = self._track_reference_keyframe(frame)
         if n < self.cfg.min_track_matches:
             self.state = (
                 TrackState.RECENTLY_LOST if m.n_keyframes() > 10 else TrackState.LOST
@@ -150,6 +161,7 @@ class Tracking:
 
         # --- TrackLocalMap (Tracking.cc:2004-2082)
         n_local = self._track_local_map(frame)
+        self.n_inliers = n_local
         self.state = TrackState.OK if n_local >= self.cfg.min_local_matches else (
             TrackState.RECENTLY_LOST if m.n_keyframes() > 10 else TrackState.LOST
         )
@@ -238,6 +250,66 @@ class Tracking:
         self._match_map_points(frame, last_ids, self.cfg.search_radius)
         n = self._pose_solve(frame)
         return n
+
+    def _track_reference_keyframe(self, frame: Frame) -> int:
+        """TrackReferenceKeyFrame (Tracking.cc:1893-1937): pure descriptor
+        matching against the reference keyframe's map points (SearchByBoW
+        equivalent, ratio 0.7 + rotation consistency), pose seeded from the
+        last frame, then the standard GP pose solve. Motion-model fallback —
+        no relocalization machinery involved."""
+        if self.last_kf is None:
+            return 0
+        m = self.atlas.active
+        # reset any partial associations from the failed motion-model pass
+        frame.matches[:] = -1
+        frame.outlier[:] = False
+        frame.Twb = self.last_frame.Twb.copy()
+        frame.velocity = self.last_frame.velocity.copy()
+        kf = self.last_kf
+        n = 0
+        for cam in range(self.rig.n_cams):
+            if len(frame.keypoints[cam]) == 0 or len(kf.keypoints[cam]) == 0:
+                continue
+            mps, descs, angs_ref = [], [], []
+            for local in range(len(kf.keypoints[cam])):
+                g = kf.global_index(cam, local)
+                mp_id = kf.matches[g]
+                if mp_id < 0:
+                    continue
+                mp = m.map_points.get(int(mp_id))
+                if mp is None or mp.bad or mp.descriptor is None:
+                    continue
+                mps.append(mp)
+                descs.append(mp.descriptor)
+                angs_ref.append(
+                    float(kf.kp_angles[cam][local])
+                    if kf.kp_angles is not None else np.nan
+                )
+            if not mps:
+                continue
+            ang1 = np.asarray(angs_ref)
+            ang2 = (
+                np.asarray(frame.kp_angles[cam])
+                if frame.kp_angles is not None else None
+            )
+            have_ang = ang2 is not None and np.isfinite(ang1).all()
+            idx = matcher.match_descriptors(
+                np.stack(descs), frame.descriptors[cam],
+                max_dist=matcher.TH_LOW, ratio=0.7,
+                ang1=ang1 if have_ang else None,
+                ang2=ang2 if have_ang else None,
+            )
+            for mi, ki in enumerate(idx):
+                if ki < 0:
+                    continue
+                g = frame.global_index(cam, int(ki))
+                if frame.matches[g] < 0:
+                    frame.matches[g] = mps[mi].id
+                    mps[mi].n_visible += 1
+                    n += 1
+        if n < 15:
+            return 0
+        return self._pose_solve(frame)
 
     def _track_local_map(self, frame: Frame) -> int:
         m = self.atlas.active
@@ -344,16 +416,67 @@ class Tracking:
 
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, frame: Frame) -> bool:
-        """Tracking::NeedNewKeyFrame c1/c3 conditions (Tracking.cc:2085-2198)."""
+        """Full Tracking::NeedNewKeyFrame conditions (Tracking.cc:2085-2198):
+        c1a (max frames), c1b (min frames + idle mapper), c1c (weak tracking
+        or many untracked close points), gated by c2 (few tracked points vs
+        the reference KF), plus c3 (motion), c4 (marginal inlier count), and
+        the c5 low-speed veto."""
+        m = self.atlas.active
+        if self.cfg.localization_only:
+            return False
+        n_kfs = m.n_keyframes()
+        # not right after a relocalization (Tracking.cc:2103-2106)
+        if (self.frames_since_reloc < self.cfg.max_frames_between_kf
+                and n_kfs > self.cfg.max_frames_between_kf):
+            return False
         if self.last_kf is None:
             return True
-        if self.frames_since_kf >= self.cfg.max_frames_between_kf:
-            return True
+
+        # tracked map points in the reference KF with enough observations
+        min_obs = 3 if n_kfs > 2 else 2
+        n_ref = 0
+        for mp_id in self.last_kf.matches:
+            if mp_id < 0:
+                continue
+            mp = m.map_points.get(int(mp_id))
+            if mp is not None and not mp.bad and mp.n_obs() >= min_obs:
+                n_ref += 1
+        idle = self.local_mapper is None or not self.local_mapper.queue
+
+        # close-point bookkeeping on the stereo camera (Tracking.cc:2117-2136)
+        n_tracked_close = n_nontracked_close = 0
+        if frame.kp_depth is not None:
+            cam = self.rig.n_cams - 1
+            for local, d in enumerate(frame.kp_depth):
+                if 0 < d < self.cfg.th_depth:
+                    g = frame.global_index(cam, local)
+                    if frame.matches[g] >= 0 and not frame.outlier[g]:
+                        n_tracked_close += 1
+                    else:
+                        n_nontracked_close += 1
+        need_close = n_tracked_close < 100 and n_nontracked_close > 70
+
+        ni = self.n_inliers
+        c1a = self.frames_since_kf >= self.cfg.max_frames_between_kf
+        c1b = (self.frames_since_kf >= self.cfg.min_frames_between_kf) and idle
+        c1c = ni < n_ref * 0.25 or need_close
+        c2 = (ni < n_ref * 0.75 or need_close) and ni > 15
         rel = _np_log_se3(np.linalg.inv(self.last_kf.Twb) @ frame.Twb)
-        return (
+        c3 = (
             np.linalg.norm(rel[:3]) > self.cfg.kf_translation_th
             or np.linalg.norm(rel[3:]) > self.cfg.kf_rotation_th
         )
+        c4 = 15 < ni < 75
+        v = np.linalg.norm(frame.velocity[:3])
+        w = np.linalg.norm(frame.velocity[3:])
+        c5 = v < 0.3 and w < 0.1
+        if ((c1a or c1b or c1c) and c2) or c3 or c4:
+            if not c3 and c5:
+                return False  # low-speed veto
+            if idle:
+                return True
+            return len(self.local_mapper.queue) < 3
+        return False
 
     def _create_keyframe(self, frame: Frame):
         """Tracking::CreateNewKeyFrame (Tracking.cc:2200-2292)."""
@@ -367,6 +490,7 @@ class Tracking:
             kp_octaves=frame.kp_octaves,
             descriptors=frame.descriptors,
             kp_ur=frame.kp_ur,
+            kp_angles=frame.kp_angles,
             kp_depth=frame.kp_depth,
         )
         kf.matches = frame.matches.copy()
@@ -439,6 +563,7 @@ class Tracking:
             kp_octaves=frame.kp_octaves,
             descriptors=frame.descriptors,
             kp_ur=frame.kp_ur,
+            kp_angles=frame.kp_angles,
             kp_depth=frame.kp_depth,
         )
         m.add_keyframe(kf)

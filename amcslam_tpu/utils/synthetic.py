@@ -357,6 +357,9 @@ def make_local_ba_problem(
         st_is_stereo=jnp.asarray(st[:, 5] > 0.5) if Es else jnp.zeros(0, bool),
         st_close=jnp.zeros(Es, bool),
     )
+    from ..solver.ba import with_landmark_tables
+
+    data = with_landmark_tables(data, n_lm)
 
     gt = BAState(
         T=jnp.asarray(Ts, dtype),

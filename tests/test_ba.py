@@ -41,11 +41,13 @@ def test_schur_complement_matches_dense_solve():
     lam = 0.37
     (dxp, dxl), dot_xx, dot_xb = problem.solve(lin, jnp.asarray(lam, F64))
 
-    # dense assembly
+    # dense assembly (extrinsics live in 12-wide phantom column groups;
+    # phantom columns are inactive -> identity rows, dx = 0 there)
+    phantom = np.tile(np.r_[np.ones(6), np.zeros(6)], Cx)
     act = np.concatenate(
         [
             np.repeat(~np.asarray(data.pose_fixed), 12).astype(float),
-            np.repeat(~np.asarray(data.ext_fixed), 6).astype(float),
+            np.repeat(~np.asarray(data.ext_fixed), 12).astype(float) * phantom,
         ]
     )
     N = P + 3 * L
@@ -106,6 +108,25 @@ def test_local_gp_ba_divergence_guard_nan():
     res = local_gp_ba(bad, state0)
     assert not bool(res.ok)
     np.testing.assert_array_equal(np.asarray(res.state.T), np.asarray(state0.T))
+
+
+def test_gather_tables_match_segment_sum_fallback():
+    """The landmark-major gather assembly (TPU fast path) must produce the
+    same (Hpp, bp, Wt, Hll, bl) as the segment-sum fallback."""
+    data, state0, gt = small_problem(seed=5)
+    assert data.lm_blk is not None
+    data_fb = data._replace(
+        lm_blk=None, lm_blk_g=None, lm_blk_valid=None,
+        lm_edge=None, lm_edge_valid=None,
+    )
+    p_fast = make_ba_problem(data, data.mg_valid, data.sg_valid, data.st_valid)
+    p_fb = make_ba_problem(data_fb, data.mg_valid, data.sg_valid, data.st_valid)
+    lin_fast = p_fast.linearize(state0)
+    lin_fb = p_fb.linearize(state0)
+    for a, b, name in zip(lin_fast, lin_fb, ["Hpp", "bp", "Wt", "Hll", "bl"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12, err_msg=name
+        )
 
 
 def test_ba_f32_stability():

@@ -27,6 +27,7 @@ def _run_system(produce: bool):
         TrackingConfig(
             max_frames_between_kf=4,  # leave non-keyframe frames in between
             ransac_min_match=15,
+            kf_translation_th=0.45,   # ~3 frames of synthetic motion
             produce_gp_obs=produce,
         ),
         enable_loop_closing=False,

@@ -18,7 +18,8 @@ def test_tracking_end_to_end():
     )
     atlas = Atlas()
     mapper = LocalMapping(rig, atlas.active)
-    cfg = TrackingConfig(max_frames_between_kf=3, ransac_min_match=15)
+    cfg = TrackingConfig(max_frames_between_kf=3, ransac_min_match=15,
+                         kf_translation_th=0.25)
     tracker = Tracking(rig, atlas, cfg, local_mapper=mapper)
 
     states = []
@@ -47,3 +48,106 @@ def test_tracking_end_to_end():
     # map grew beyond the stereo seed
     assert atlas.active.n_map_points() > 100
     assert atlas.active.n_keyframes() >= 3
+
+
+@pytest.mark.slow
+def test_reference_kf_fallback_recovers_from_bad_motion_model():
+    """TrackReferenceKeyFrame (Tracking.cc:1893): when the constant-twist
+    prediction is corrupted for one frame, descriptor matching against the
+    reference keyframe recovers tracking WITHOUT relocalization."""
+    frames, rig, Ts_gt, _ = make_sequence(
+        n_frames=10, n_cams=3, n_lm=300, noise_px=0.3, seed=4
+    )
+    atlas = Atlas()
+    mapper = LocalMapping(rig, atlas.active)
+    cfg = TrackingConfig(max_frames_between_kf=3, ransac_min_match=15,
+                         kf_translation_th=0.25)
+    tracker = Tracking(rig, atlas, cfg, local_mapper=mapper)
+    for f in frames[:6]:
+        assert tracker.grab_frame(f) == TrackState.OK
+        while mapper.run_once():
+            pass
+
+    # corrupt the motion model: prediction lands far from the true pose
+    tracker.velocity_model = tracker.velocity_model + np.array(
+        [40.0, -35.0, 20.0, 0, 0, 1.5]
+    )
+    st = tracker.grab_frame(frames[6])
+    assert st == TrackState.OK, st
+    err = np.linalg.norm(frames[6].Twb[:3, 3] - Ts_gt[6][:3, 3])
+    assert err < 0.5, err
+    # and the run continues normally
+    for f in frames[7:]:
+        assert tracker.grab_frame(f) == TrackState.OK
+        while mapper.run_once():
+            pass
+
+
+def test_async_camera_triangulation():
+    """CreateNewMapPoints must triangulate through ASYNC cameras at their
+    GP-interpolated poses (LocalMapping.cc:360-393) — landmarks get created
+    from async-camera-only observations (no stereo keypoints at all)."""
+    from amcslam_tpu.pipeline.map_store import KeyFrame, Map
+    from amcslam_tpu.utils.synthetic import make_rig, _np_exp_se3
+
+    rng = np.random.RandomState(9)
+    Tbc, K, bf = make_rig(3, seed=2)
+    from amcslam_tpu.pipeline.rig import Rig
+
+    rig = Rig(Tbc=Tbc, K=K, bf=bf)
+    m = Map()
+    cam = 0  # async camera only
+    v = np.array([1.5, 0, 0, 0, 0, 0.05])
+    X = np.stack([rng.uniform(-4, 4, 40), rng.uniform(-3, 3, 40),
+                  rng.uniform(6, 14, 40)], 1)
+    descs = rng.randint(0, 256, (40, 32)).astype(np.uint8)
+
+    kfs = []
+    prev = None
+    for k in range(2):
+        t = float(k)
+        Twb = _np_exp_se3(v * t) if k else np.eye(4)
+        t_cam = t - 0.04
+        # async camera pose at ITS OWN timestamp (the pipeline model)
+        Twb_cam = Twb @ _np_exp_se3(v * (t_cam - t))
+        Twc = Twb_cam @ Tbc[cam]
+        # project world landmarks (placed in front of async cam 0 at k=0)
+        Xw = (Tbc[cam][:3, :3] @ X.T).T + Tbc[cam][:3, 3]
+        Tcw = np.linalg.inv(Twc)
+        Xc = Xw @ Tcw[:3, :3].T + Tcw[:3, 3]
+        z = Xc[:, 2]
+        keep = z > 0.5
+        kp = np.stack([K[cam, 0] * Xc[:, 0] / z + K[cam, 2],
+                       K[cam, 1] * Xc[:, 1] / z + K[cam, 3]], 1)[keep]
+        ids = np.where(keep)[0]
+        kf = KeyFrame(
+            timestamp=t,
+            cam_times=np.array([t_cam, t - 0.02, t]),
+            Twb=Twb,
+            velocity=v.copy(),
+            keypoints=[kp, np.zeros((0, 2)), np.zeros((0, 2))],
+            kp_octaves=[np.zeros(len(kp), np.int64), np.zeros(0, np.int64),
+                        np.zeros(0, np.int64)],
+            descriptors=[descs[ids], np.zeros((0, 32), np.uint8),
+                         np.zeros((0, 32), np.uint8)],
+        )
+        kf.prev_kf = prev
+        if prev is not None:
+            prev.next_kf = kf
+        m.add_keyframe(kf)
+        kfs.append(kf)
+        prev = kf
+
+    mapper = LocalMapping(rig, m)
+    created = mapper.create_new_map_points(kfs[1])
+    assert created >= 10, created
+    # created landmarks observed ONLY through the async camera, near truth
+    Xw = (Tbc[cam][:3, :3] @ X.T).T + Tbc[cam][:3, 3]
+    n_close = 0
+    for mp in m.map_points.values():
+        slots = mp.observations[kfs[1].id]
+        assert slots[0] >= 0 and slots[1] < 0 and slots[2] < 0
+        d = np.linalg.norm(Xw - mp.position, axis=1).min()
+        if d < 0.05:
+            n_close += 1
+    assert n_close >= 0.8 * created, (n_close, created)

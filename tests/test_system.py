@@ -18,7 +18,8 @@ def test_system_end_to_end(tmp_path):
     frames, rig, Ts_gt, _ = make_sequence(n_frames=8, n_cams=3, n_lm=250, seed=1)
     sys_ = System(
         rig,
-        TrackingConfig(max_frames_between_kf=3, ransac_min_match=15),
+        TrackingConfig(max_frames_between_kf=3, ransac_min_match=15,
+                       kf_translation_th=0.25),
         enable_loop_closing=True,
     )
     for f in frames:
