@@ -55,10 +55,31 @@ def extract_local_ba(
     solver array slots back to map entities for write-back. `kf_table`
     (Map.keyframes) makes fixed-anchor resolution O(1); without it the
     temporal chain is walked.
+
+    The optimizable window is `Nd = min(#KF - 2, max_opt)` keyframes
+    (Optimizer.cc:718-746): at least two keyframes always stay out of the
+    window so the problem is gauge-anchored by a fixed prev-chain vertex —
+    otherwise a young map (window == whole map, no covisible anchors)
+    would be rank-deficient and free to slide as a whole.
     """
+    # --- total keyframe count (for the Nd cap)
+    if kf_table is not None:
+        total = len(kf_table)
+    else:
+        total = 0
+        k_ = kf
+        while k_ is not None:
+            total += 1
+            k_ = k_.prev_kf
+        k_ = kf.next_kf
+        while k_ is not None:
+            total += 1
+            k_ = k_.next_kf
+    nd = max(1, min(total - 2, max_opt))
+
     # --- temporal window via prev_kf chain
     window: list[KeyFrame] = [kf]
-    while len(window) < max_opt and window[-1].prev_kf is not None:
+    while len(window) < nd and window[-1].prev_kf is not None:
         window.append(window[-1].prev_kf)
     window_ids = {k.id for k in window}
 

@@ -23,6 +23,30 @@ from .map_store import KeyFrame, Map, MapPoint
 from .rig import Rig
 
 
+def camera_Twc(kf: KeyFrame, cam: int, rig: Rig) -> np.ndarray:
+    """Per-camera pose at that camera's own timestamp: the stereo camera
+    is at the KF time; async cameras GP-interpolate between the previous
+    keyframe and this one (GetCameraPose semantics, KeyFrame.cc:116-145 /
+    LocalMapping.cc:360-393)."""
+    if cam == rig.n_cams - 1:
+        return kf.Twb @ rig.Tbc[cam]
+    t = float(kf.cam_times[cam])
+    prev = kf.prev_kf
+    if prev is not None and prev.timestamp < t < kf.timestamp:
+        from .tracking import interp_camera_pose
+
+        Twb_t = interp_camera_pose(
+            prev.Twb, prev.velocity, prev.timestamp,
+            kf.Twb, kf.velocity, kf.timestamp, t,
+        )
+    else:
+        # constant-twist extrapolation from the KF's own state
+        from .tracking import _np_exp_se3
+
+        Twb_t = kf.Twb @ _np_exp_se3(kf.velocity * (t - kf.timestamp))
+    return Twb_t @ rig.Tbc[cam]
+
+
 class LocalMapping:
     def __init__(self, rig: Rig, map_: Map, b_extrinsic: bool = False,
                  loop_closer=None):
@@ -89,27 +113,7 @@ class LocalMapping:
 
     # ------------------------------------------------------------------
     def _camera_Twc(self, kf: KeyFrame, cam: int) -> np.ndarray:
-        """Per-camera pose at that camera's own timestamp: the stereo camera
-        is at the KF time; async cameras GP-interpolate between the previous
-        keyframe and this one (GetCameraPose semantics, KeyFrame.cc:116-145 /
-        LocalMapping.cc:360-393)."""
-        if cam == self.rig.n_cams - 1:
-            return kf.Twb @ self.rig.Tbc[cam]
-        t = float(kf.cam_times[cam])
-        prev = kf.prev_kf
-        if prev is not None and prev.timestamp < t < kf.timestamp:
-            from .tracking import interp_camera_pose
-
-            Twb_t = interp_camera_pose(
-                prev.Twb, prev.velocity, prev.timestamp,
-                kf.Twb, kf.velocity, kf.timestamp, t,
-            )
-        else:
-            # constant-twist extrapolation from the KF's own state
-            from .tracking import _np_exp_se3
-
-            Twb_t = kf.Twb @ _np_exp_se3(kf.velocity * (t - kf.timestamp))
-        return Twb_t @ self.rig.Tbc[cam]
+        return camera_Twc(kf, cam, self.rig)
 
     def create_new_map_points(self, kf: KeyFrame, n_neighbors: int = 10):
         """LocalMapping::CreateNewMapPoints (:311-393): epipolar-gated
@@ -218,7 +222,6 @@ class LocalMapping:
             for i in kf.best_covisible(10)
             if i in self.map.keyframes
         ]
-        cam = self.rig.n_cams - 1
         mps = [
             self.map.map_points[int(i)]
             for i in kf.matches
@@ -232,43 +235,47 @@ class LocalMapping:
             for mp in mps
         ])
         for nb in neighbors:
-            if len(nb.keypoints[cam]) == 0:
-                continue
-            Twc = nb.Twb @ self.rig.Tbc[cam]
-            Tcw = np.linalg.inv(Twc)
-            idx = matcher.search_by_projection(
-                pos, desc, nb.keypoints[cam], nb.descriptors[cam],
-                nb.kp_octaves[cam], Tcw, self.rig.K[cam], radius=3.0,
-                max_dist=matcher.TH_LOW,
-            )
-            for mi, ki in enumerate(idx):
-                if ki < 0:
+            # project through EVERY camera at its own (GP-interpolated) pose
+            # (ORBmatcher::Fuse loops cameras, ORBmatcher.cc:1133ff)
+            for cam in range(self.rig.n_cams):
+                if len(nb.keypoints[cam]) == 0:
                     continue
-                g = nb.global_index(cam, int(ki))
-                other_id = nb.matches[g]
-                mp = mps[mi]
-                if other_id < 0:
-                    nb.matches[g] = mp.id
-                    mp.add_observation(nb, cam, g)
-                elif other_id != mp.id and int(other_id) in self.map.map_points:
-                    other = self.map.map_points[int(other_id)]
-                    # keep the better-observed one (ORBmatcher::Fuse)
-                    winner, loser = (mp, other) if mp.n_obs() >= other.n_obs() else (other, mp)
-                    for kf_id, slots in list(loser.observations.items()):
-                        okf = self.map.keyframes.get(kf_id)
-                        if okf is None:
-                            continue
-                        for c, gi in enumerate(slots):
-                            if gi >= 0:
-                                okf.matches[gi] = winner.id
-                                winner.add_observation(okf, c, int(gi))
-                    self.map.erase_map_point(loser)
+                Tcw = np.linalg.inv(self._camera_Twc(nb, cam))
+                idx = matcher.search_by_projection(
+                    pos, desc, nb.keypoints[cam], nb.descriptors[cam],
+                    nb.kp_octaves[cam], Tcw, self.rig.K[cam], radius=3.0,
+                    max_dist=matcher.TH_LOW,
+                )
+                for mi, ki in enumerate(idx):
+                    if ki < 0:
+                        continue
+                    g = nb.global_index(cam, int(ki))
+                    other_id = nb.matches[g]
+                    mp = mps[mi]
+                    if mp.bad:
+                        continue
+                    if other_id < 0:
+                        nb.matches[g] = mp.id
+                        mp.add_observation(nb, cam, g)
+                    elif other_id != mp.id and int(other_id) in self.map.map_points:
+                        other = self.map.map_points[int(other_id)]
+                        # keep the better-observed one (ORBmatcher::Fuse)
+                        winner, loser = (mp, other) if mp.n_obs() >= other.n_obs() else (other, mp)
+                        for kf_id, slots in list(loser.observations.items()):
+                            okf = self.map.keyframes.get(kf_id)
+                            if okf is None:
+                                continue
+                            for c, gi in enumerate(slots):
+                                if gi >= 0:
+                                    okf.matches[gi] = winner.id
+                                    winner.add_observation(okf, c, int(gi))
+                        self.map.erase_map_point(loser)
 
     # ------------------------------------------------------------------
     def local_ba(self, kf: KeyFrame):
         """Optimizer::LocalGPBA via extraction + jitted Schur solver."""
         data, state, handles = extract_local_ba(
-            kf, self.map.map_points, self.rig
+            kf, self.map.map_points, self.rig, kf_table=self.map.keyframes
         )
         res = self._ba(data, state)
         if bool(res.ok):

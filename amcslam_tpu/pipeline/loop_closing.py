@@ -218,6 +218,51 @@ class LoopClosing:
         (s, R, t), inl, n_best, _ = sim3_ransac(data, jnp.asarray(samples, jnp.int32))
         if int(n_best) < max(6, self.min_matches // 2):
             return None, 0, None
+
+        # SearchBySim3 densification (ORBmatcher::SearchBySim3 via
+        # LoopClosing.cc:581-597): project each side's full point set through
+        # the RANSAC Sim3 and admit mutually consistent extra pairs before
+        # the final refinement.
+        valid = np.asarray(inl)
+        seen_pairs = {(m1.id, m2.id) for m1, m2 in zip(mps1, mps2)}
+        full1 = self._kf_points(kf1)
+        full2 = self._kf_points(kf2)
+        if len(full1[0]) >= 3 and len(full2[0]) >= 3:
+            fXb1 = np.stack([Tbw1[:3, :3] @ mp.position + Tbw1[:3, 3]
+                             for mp in full1[0]])
+            fXb2 = np.stack([Tbw2[:3, :3] @ mp.position + Tbw2[:3, 3]
+                             for mp in full2[0]])
+            didx = matcher.search_by_sim3(
+                fXb1, np.asarray(full1[1], np.int32), np.stack(full1[2]),
+                np.stack(full1[4]),
+                fXb2, np.asarray(full2[1], np.int32), np.stack(full2[2]),
+                np.stack(full2[4]),
+                float(np.asarray(s)), np.asarray(R), np.asarray(t),
+                Tcb_all, np.asarray(self.rig.K),
+            )
+            ex1, ex2, exc1, exc2, exu1, exu2, exw1, exw2 = ([] for _ in range(8))
+            for i, j in enumerate(didx):
+                if j < 0:
+                    continue
+                key = (full1[0][i].id, full2[0][int(j)].id)
+                if key in seen_pairs:
+                    continue
+                seen_pairs.add(key)
+                ex1.append(fXb1[i]); ex2.append(fXb2[int(j)])
+                exc1.append(full1[1][i]); exc2.append(full2[1][int(j)])
+                exu1.append(full1[2][i]); exu2.append(full2[2][int(j)])
+                exw1.append(full1[3][i]); exw2.append(full2[3][int(j)])
+            if ex1:
+                Xb1 = np.concatenate([Xb1, np.stack(ex1)])
+                Xb2 = np.concatenate([Xb2, np.stack(ex2)])
+                obs1 = np.concatenate([obs1, np.stack(exu1)])
+                obs2 = np.concatenate([obs2, np.stack(exu2)])
+                cams1 = np.concatenate([cams1, np.asarray(exc1, np.int32)])
+                cams2 = np.concatenate([cams2, np.asarray(exc2, np.int32)])
+                w1 = np.concatenate([w1, np.asarray(exw1)])
+                w2 = np.concatenate([w2, np.asarray(exw2)])
+                valid = np.concatenate([valid, np.ones(len(ex1), bool)])
+
         # refinement with paired reprojection edges in the observing cameras
         X1c = np.einsum("nij,nj->ni", Tcb_all[cams1, :3, :3], Xb1) + Tcb_all[cams1, :3, 3]
         X2c = np.einsum("nij,nj->ni", Tcb_all[cams2, :3, :3], Xb2) + Tcb_all[cams2, :3, 3]
@@ -230,7 +275,7 @@ class LoopClosing:
             cam2=jnp.asarray(cams2),
             w1=jnp.asarray(w1, jnp.float64),
             w2=jnp.asarray(w2, jnp.float64),
-            valid=jnp.asarray(np.asarray(inl)),
+            valid=jnp.asarray(valid),
             K1=jnp.asarray(self.rig.K, jnp.float64),
             K2=jnp.asarray(self.rig.K, jnp.float64),
             Tc1b=jnp.asarray(Tcb_all, jnp.float64),
@@ -313,44 +358,48 @@ class LoopClosing:
             return 0
         pos = np.stack([mp.position for mp in loop_mps])
         desc = np.stack([mp.descriptor for mp in loop_mps])
-        cam = self.rig.n_cams - 1
         cur_kfs = [kf] + [
             self.map.keyframes[i]
             for i in kf.best_covisible(10)
             if i in self.map.keyframes
         ]
+        from .local_mapping import camera_Twc
+
         fused = 0
         for ck in cur_kfs:
-            if len(ck.keypoints[cam]) == 0:
-                continue
-            Tcw = np.linalg.inv(ck.Twb @ self.rig.Tbc[cam])
-            idx = matcher.search_by_projection(
-                pos, desc, ck.keypoints[cam], ck.descriptors[cam],
-                ck.kp_octaves[cam], Tcw, self.rig.K[cam], radius=4.0,
-                max_dist=matcher.TH_LOW,
-            )
-            for mi, ki in enumerate(idx):
-                if ki < 0:
+            for cam in range(self.rig.n_cams):
+                if len(ck.keypoints[cam]) == 0:
                     continue
-                g = ck.global_index(cam, int(ki))
-                cur_id = int(ck.matches[g])
-                mp = loop_mps[mi]
-                if cur_id < 0:
-                    ck.matches[g] = mp.id
-                    mp.add_observation(ck, cam, g)
-                    fused += 1
-                elif cur_id != mp.id and cur_id in self.map.map_points:
-                    other = self.map.map_points[cur_id]
-                    for kf_id, slots in list(other.observations.items()):
-                        okf = self.map.keyframes.get(kf_id)
-                        if okf is None:
-                            continue
-                        for c, gi in enumerate(slots):
-                            if gi >= 0:
-                                okf.matches[gi] = mp.id
-                                mp.add_observation(okf, c, int(gi))
-                    self.map.erase_map_point(other)
-                    fused += 1
+                Tcw = np.linalg.inv(camera_Twc(ck, cam, self.rig))
+                idx = matcher.search_by_projection(
+                    pos, desc, ck.keypoints[cam], ck.descriptors[cam],
+                    ck.kp_octaves[cam], Tcw, self.rig.K[cam], radius=4.0,
+                    max_dist=matcher.TH_LOW,
+                )
+                for mi, ki in enumerate(idx):
+                    if ki < 0:
+                        continue
+                    g = ck.global_index(cam, int(ki))
+                    cur_id = int(ck.matches[g])
+                    mp = loop_mps[mi]
+                    if mp.bad:
+                        continue
+                    if cur_id < 0:
+                        ck.matches[g] = mp.id
+                        mp.add_observation(ck, cam, g)
+                        fused += 1
+                    elif cur_id != mp.id and cur_id in self.map.map_points:
+                        other = self.map.map_points[cur_id]
+                        for kf_id, slots in list(other.observations.items()):
+                            okf = self.map.keyframes.get(kf_id)
+                            if okf is None:
+                                continue
+                            for c, gi in enumerate(slots):
+                                if gi >= 0:
+                                    okf.matches[gi] = mp.id
+                                    mp.add_observation(okf, c, int(gi))
+                        self.map.erase_map_point(other)
+                        fused += 1
         return fused
 
     def _run_global_ba(self, num_iterations: int = 10):

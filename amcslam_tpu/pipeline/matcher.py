@@ -154,6 +154,60 @@ def search_by_projection(
     return np.where(bestd <= max_dist, best, -1).astype(np.int64)
 
 
+def search_by_sim3(
+    Xb1: np.ndarray, cams1: np.ndarray, uvs1: np.ndarray, d1: np.ndarray,
+    Xb2: np.ndarray, cams2: np.ndarray, uvs2: np.ndarray, d2: np.ndarray,
+    s12: float, R12: np.ndarray, t12: np.ndarray,
+    Tcb: np.ndarray, K: np.ndarray,
+    radius: float = 7.5, max_dist: int = TH_HIGH,
+):
+    """Sim3-guided match densification (ORBmatcher::SearchBySim3): given a
+    candidate Sim3 aligning KF2 body coords into KF1 body coords, admit a
+    (i, j) pair only when point j lands within `radius` px of point i's
+    MEASURED keypoint through i's own camera — and symmetrically for i
+    through j's camera under the inverse Sim3. Inputs are per-KF observation
+    records (body-frame positions, observing camera ids, measured pixels,
+    descriptors); returns idx2 per idx1 (-1 none), mutual-best.
+    """
+    n1, n2 = len(Xb1), len(Xb2)
+    if n1 == 0 or n2 == 0:
+        return -np.ones(n1, np.int64)
+    cams1 = np.asarray(cams1, int)
+    cams2 = np.asarray(cams2, int)
+
+    def _project(Xb, cams_obs):
+        """Project body-frame points through the camera of EACH observation:
+        returns (n_obs, n_pts, 2) pixels + (n_obs, n_pts) depth."""
+        Rc = Tcb[cams_obs, :3, :3]
+        tc = Tcb[cams_obs, :3, 3]
+        Xc = np.einsum("oij,pj->opi", Rc, Xb) + tc[:, None, :]
+        z = Xc[..., 2]
+        f = K[cams_obs]
+        u = f[:, 0:1] * Xc[..., 0] / np.maximum(z, 1e-9) + f[:, 2:3]
+        v = f[:, 1:2] * Xc[..., 1] / np.maximum(z, 1e-9) + f[:, 3:4]
+        return np.stack([u, v], -1), z
+
+    # KF2 points into KF1 body coords, projected through each obs1 camera
+    Y2in1 = s12 * Xb2 @ R12.T + t12
+    px21, z21 = _project(Y2in1, cams1)         # (n1, n2, 2)
+    err21 = np.linalg.norm(px21 - uvs1[:, None, :], axis=-1)
+    ok21 = (z21 > 0.1) & (err21 <= radius)
+    # KF1 points into KF2 body coords (inverse Sim3), through obs2 cameras
+    X1in2 = (Xb1 - t12) @ R12 / max(s12, 1e-12)
+    px12, z12 = _project(X1in2, cams2)          # (n2, n1, 2)
+    err12 = np.linalg.norm(px12 - uvs2[:, None, :], axis=-1)
+    ok12 = (z12 > 0.1) & (err12 <= radius)
+
+    admissible = ok21 & ok12.T
+    D = np.asarray(hamming_table(jnp.asarray(d1), jnp.asarray(d2)))
+    D = np.where(admissible, D, 1 << 30)
+    best2 = np.argmin(D, axis=1)
+    bestd = D[np.arange(n1), best2]
+    best1 = np.argmin(D, axis=0)
+    ok = (bestd <= max_dist) & (best1[best2] == np.arange(n1))
+    return np.where(ok, best2, -1).astype(np.int64)
+
+
 def search_for_triangulation(
     kp1: np.ndarray, d1: np.ndarray, kp2: np.ndarray, d2: np.ndarray,
     F12: np.ndarray, max_dist: int = TH_LOW, epi_th: float = 3.84,

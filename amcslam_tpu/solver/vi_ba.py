@@ -96,8 +96,15 @@ def _imu_eval(data: VIBAData, state: VIBAState):
 
 
 def make_vi_ba_problem(data: VIBAData) -> LMProblem:
-    """Dense joint VI-BA problem. Parameter layout per KF: [dphi,dp,dv,dbg,dba]
-    (15); landmarks appended (3 each)."""
+    """VI-BA with landmark Schur complement, scatter-free. Parameter layout
+    per KF: [dphi,dp,dv,dbg,dba] (15); landmarks marginalized (3 each).
+
+    Same TPU mapping as solver/ba.py: per-edge Hessian blocks reduce into
+    per-structure segments with one-hot matmuls (MXU) instead of
+    scatter-adds; reprojection edges all share the per-keyframe structure
+    (their 9-dof pose block), IMU/bias-walk factors are one segment each;
+    the landmark system (Hll, bl, W) Schur-eliminates with batched 3x3
+    closed-form inverses."""
     K = data.pose_fixed.shape[0]
     dtype = data.obs.dtype
     delta = jnp.asarray(data.huber_mono, dtype)
@@ -127,13 +134,23 @@ def make_vi_ba_problem(data: VIBAData) -> LMProblem:
         c += jnp.sum(jnp.einsum("ei,ij,ej->e", db, data.walk_info, db))
         return c
 
-    def linearize(state: VIBAState):
-        P, L = sizes(state)
-        N = P + 3 * L
-        H = jnp.zeros((N, N), dtype)
-        b = jnp.zeros((N,), dtype)
+    P = 15 * K
+    act_vec = jnp.repeat(pose_act, 15)  # (P,)
 
-        # reprojection
+    def linearize(state: VIBAState):
+        _, L = sizes(state)
+        seg_H, seg_b, seg_cols = [], [], []
+
+        def add_seg(Hs, bs, cols, w_):
+            if w_ < 24:
+                Hs = jnp.pad(Hs, ((0, 0), (0, 24 - w_), (0, 24 - w_)))
+                bs = jnp.pad(bs, ((0, 0), (0, 24 - w_)))
+                cols = jnp.pad(cols, ((0, 0), (0, 24 - w_)))
+            seg_H.append(Hs)
+            seg_b.append(bs)
+            seg_cols.append(cols.astype(jnp.int32))
+
+        # ===== reprojection edges =====
         r, Jp, Jl, _ = _reproj_eval(data, state)
         m = act_obs[:, None]
         r = jnp.where(m, r, 0.0)
@@ -143,17 +160,33 @@ def make_vi_ba_problem(data: VIBAData) -> LMProblem:
         s = jnp.sum(r * r, -1) * data.w
         _, rho1 = robust.huber_rho01(s, delta, True)
         wgt = jnp.where(act_obs, data.w * rho1, 0.0)
-        cols_p = 15 * data.obs_kf[:, None] + jnp.arange(9)[None, :]
-        cols_l = P + 3 * data.obs_lm[:, None] + jnp.arange(3)[None, :]
-        cols = jnp.concatenate([cols_p, cols_l], axis=1)  # (E,12)
-        J = jnp.concatenate([Jp, Jl], axis=2)  # (E,2,12)
-        JW = J * wgt[:, None, None]
-        H = H.at[cols[:, :, None], cols[:, None, :]].add(
-            jnp.einsum("eri,erj->eij", JW, J)
+        Jp9 = Jp[:, :, :9]  # v/bg/ba columns of reprojection are zero
+        JpW = Jp9 * wgt[:, None, None]
+        # per-keyframe 9x9 pose blocks: one-hot segment reduction (MXU)
+        Hblk = jnp.sum(JpW[:, :, :, None] * Jp9[:, :, None, :], axis=1)  # (E,9,9)
+        bblk = -jnp.sum(JpW * r[:, :, None], axis=1)  # (E,9)
+        onehot = (data.obs_kf[None, :] == jnp.arange(K)[:, None]).astype(dtype)
+        E_ = Hblk.shape[0]
+        Hs = (onehot @ Hblk.reshape(E_, 81)).reshape(K, 9, 9)
+        bs = onehot @ bblk
+        colK = (15 * jnp.arange(K)[:, None] + jnp.arange(9)[None, :])
+        add_seg(Hs, bs, colK, 9)
+        # landmark coupling W (3,9) per edge -> (L,K) block grid
+        JlW = Jl * wgt[:, None, None]  # (E,2,3)
+        Wblk = jnp.sum(JlW[:, :, :, None] * Jp9[:, :, None, :], axis=1)  # (E,3,9)
+        Wp = jax.ops.segment_sum(Wblk, data.obs_lm * K + data.obs_kf, L * K)
+        Wt = jnp.pad(
+            Wp.reshape(L, K, 3, 9), ((0, 0), (0, 0), (0, 0), (0, 6))
+        ).transpose(0, 2, 1, 3).reshape(L, 3, P)
+        Hll = jax.ops.segment_sum(
+            jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1),
+            data.obs_lm, L,
         )
-        b = b.at[cols].add(-jnp.einsum("eri,er->ei", JW, r))
+        bl = jax.ops.segment_sum(
+            -jnp.sum(JlW * r[:, :, None], axis=1), data.obs_lm, L
+        )
 
-        # IMU factors
+        # ===== IMU factors (one segment each) =====
         r_i, Ji, Jj, Jbg, Jba, info = _imu_eval(data, state)
         mi = data.imu_valid[:, None]
         r_i = jnp.where(mi, r_i, 0.0)
@@ -173,20 +206,21 @@ def make_vi_ba_problem(data: VIBAData) -> LMProblem:
             axis=1,
         )  # (Ki,24)
         JWi = jnp.einsum("eab,ebc->eac", info, Jfull)
-        H = H.at[colsi[:, :, None], colsi[:, None, :]].add(
-            jnp.einsum("eri,erj->eij", JWi, Jfull)
+        add_seg(
+            jnp.einsum("eri,erj->eij", JWi, Jfull),
+            -jnp.einsum("eri,er->ei", JWi, r_i),
+            colsi, 24,
         )
-        b = b.at[colsi].add(-jnp.einsum("eri,er->ei", JWi, r_i))
 
-        # bias random walk (on [bg_i, ba_i] -> [bg_j, ba_j])
+        # ===== bias random walk (one segment each) =====
         db = jnp.concatenate(
             [state.bg[j_] - state.bg[i_], state.ba[j_] - state.ba[i_]], axis=1
         )
         db = jnp.where(mi, db, 0.0)
-        E = db.shape[0]
+        Ki_ = db.shape[0]
         Jw = jnp.tile(
             jnp.concatenate([-jnp.eye(6, dtype=dtype), jnp.eye(6, dtype=dtype)], 1)[None],
-            (E, 1, 1),
+            (Ki_, 1, 1),
         )
         Jw = jnp.where(mi[..., None], Jw, 0.0)
         colsw = jnp.concatenate(
@@ -197,28 +231,48 @@ def make_vi_ba_problem(data: VIBAData) -> LMProblem:
             axis=1,
         )
         JWw = jnp.einsum("ab,ebc->eac", data.walk_info, Jw)
-        H = H.at[colsw[:, :, None], colsw[:, None, :]].add(
-            jnp.einsum("eri,erj->eij", JWw, Jw)
+        add_seg(
+            jnp.einsum("eri,erj->eij", JWw, Jw),
+            -jnp.einsum("eri,er->ei", JWw, db),
+            colsw, 12,
         )
-        b = b.at[colsw].add(-jnp.einsum("eri,er->ei", JWw, db))
 
-        act_vec = jnp.concatenate(
-            [jnp.repeat(pose_act, 15), jnp.ones(3 * L, dtype)]
-        )
-        H = H * act_vec[:, None] * act_vec[None, :]
-        b = b * act_vec
-        return H, b, act_vec
+        # ===== unified Hpp/bp assembly (two dense contractions) =====
+        H_all = jnp.concatenate(seg_H, axis=0)
+        b_all = jnp.concatenate(seg_b, axis=0)
+        cols_all = jnp.concatenate(seg_cols, axis=0)
+        M = (cols_all[:, :, None] == jnp.arange(P, dtype=jnp.int32)).astype(dtype)
+        A = jnp.einsum("sab,sbq->saq", H_all, M)
+        Hpp = jnp.einsum("sap,saq->pq", M, A)
+        bp = jnp.einsum("sa,sap->p", b_all, M)
+        return Hpp, bp, Wt, Hll, bl
 
     def max_abs_diag(lin):
-        H, b, act_vec = lin
-        return jnp.max(jnp.abs(jnp.diagonal(H)) * act_vec)
+        Hpp, bp, Wt, Hll, bl = lin
+        m1 = jnp.max(jnp.abs(jnp.diagonal(Hpp)) * act_vec)
+        m2 = jnp.max(jnp.abs(jnp.vectorize(jnp.diagonal, signature="(a,a)->(a)")(Hll)))
+        return jnp.maximum(m1, m2)
 
     def solve(lin, lam):
-        H, b, act_vec = lin
-        Hd = H + jnp.diag(lam * act_vec + (1.0 - act_vec))
-        Lc, lower = jax.scipy.linalg.cho_factor(Hd)
-        dx = jax.scipy.linalg.cho_solve((Lc, lower), b)
-        return dx, dx @ dx, dx @ b
+        from .ba import _inv3x3
+
+        Hpp, bp, Wt, Hll, bl = lin
+        eye3 = jnp.eye(3, dtype=dtype)
+        Hll_inv = _inv3x3(Hll + lam * eye3[None])
+        Y = jnp.einsum("lab,lbp->lap", Hll_inv, Wt)
+        Hs = (
+            Hpp
+            + jnp.eye(P, dtype=dtype) * (lam * act_vec + (1.0 - act_vec))[None, :]
+            - jnp.einsum("lap,laq->pq", Y, Wt)
+        )
+        bs = bp - jnp.einsum("lap,la->p", Y, bl)
+        Lc, lower = jax.scipy.linalg.cho_factor(Hs)
+        dxp = jax.scipy.linalg.cho_solve((Lc, lower), bs)
+        dxl = jnp.einsum("lab,lb->la", Hll_inv, bl - jnp.einsum("lap,p->la", Wt, dxp))
+        dx = jnp.concatenate([dxp, dxl.reshape(-1)])
+        dot_xx = dxp @ dxp + jnp.sum(dxl * dxl)
+        dot_xb = dxp @ bp + jnp.sum(dxl * bl)
+        return dx, dot_xx, dot_xb
 
     def retract(state: VIBAState, dx):
         P = 15 * K

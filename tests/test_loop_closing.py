@@ -317,3 +317,53 @@ def test_two_sequential_loops_stay_consistent():
     # the first revisit KF stays consistent after the second closure
     err13 = np.linalg.norm(kfs_c[13].Twb[:3, 3] - gt_c[13][:3, 3])
     assert err13 < 0.5, err13
+
+
+def test_search_by_sim3_densification():
+    """ORBmatcher::SearchBySim3 analogue: under the true Sim3 between two
+    keyframes' body frames, point pairs that reproject onto each other's
+    measured keypoints (and agree in descriptor) are matched; geometrically
+    inconsistent pairs are rejected even with identical descriptors."""
+    from amcslam_tpu.pipeline import matcher
+
+    rng = np.random.RandomState(5)
+    Tbc, K, bf = make_rig(2, 3)
+    Tcb = np.stack([np.linalg.inv(T) for T in Tbc])
+    cam = 1
+    n = 40
+    # body-frame points in front of the stereo camera of body frame 1
+    Xc = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                   rng.uniform(4, 12, n)], 1)
+    Xb1 = Xc @ Tbc[cam][:3, :3].T + Tbc[cam][:3, 3]
+    # ground-truth Sim3 (scale 1, as multi-camera loops fix scale)
+    R12 = _np_exp_se3(np.array([0, 0, 0, 0.1, -0.05, 0.3]))[:3, :3]
+    t12 = np.array([0.4, -0.2, 0.1])
+    Xb2 = (Xb1 - t12) @ R12  # inverse transform: Xb2 = R^T (Xb1 - t)
+
+    def project(Xb):
+        Xc_ = Xb @ Tcb[cam][:3, :3].T + Tcb[cam][:3, 3]
+        u = K[cam, 0] * Xc_[:, 0] / Xc_[:, 2] + K[cam, 2]
+        v = K[cam, 1] * Xc_[:, 1] / Xc_[:, 2] + K[cam, 3]
+        return np.stack([u, v], 1)
+
+    uv1 = project(Xb1)
+    uv2 = project(Xb2)
+    descs = rng.randint(0, 256, (n, 32)).astype(np.uint8)
+    cams = np.full(n, cam, np.int32)
+
+    perm = rng.permutation(n)
+    idx = matcher.search_by_sim3(
+        Xb1, cams, uv1, descs,
+        Xb2[perm], cams, uv2[perm], descs[perm],
+        1.0, R12, t12, Tcb, K,
+    )
+    inv = np.argsort(perm)
+    assert (idx == inv).mean() > 0.9, (idx, inv)
+
+    # wrong Sim3 -> geometric gate rejects nearly everything
+    idx_bad = matcher.search_by_sim3(
+        Xb1, cams, uv1, descs,
+        Xb2[perm], cams, uv2[perm], descs[perm],
+        1.0, np.eye(3), t12 + 5.0, Tcb, K,
+    )
+    assert (idx_bad >= 0).sum() <= n // 10
