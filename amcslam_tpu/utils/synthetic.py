@@ -485,3 +485,197 @@ def make_sequence(
             )
         )
     return frames, rig, Ts, (X, descs)
+
+
+def make_vi_ba_synthetic(
+    n_kf=20,
+    n_lm=500,
+    steps_per_kf=40,
+    imu_dt=0.005,
+    noise_px=0.3,
+    seed=0,
+    dtype=jnp.float64,
+):
+    """A visual-inertial BA instance (config 4 of BASELINE.md): n_kf inertial
+    keyframes on a smooth accelerating trajectory, IMU preintegration factors
+    between consecutive KFs (ImuTypes.cc semantics via ops/imu.py), and mono
+    reprojection edges to n_lm landmarks.
+
+    Returns (data: VIBAData, state0: VIBAState perturbed, gt: VIBAState).
+    """
+    import jax
+
+    from ..ops import imu
+    from ..solver.vi_ba import VIBAData, VIBAState
+
+    rng = np.random.RandomState(seed)
+    G = np.array([0.0, 0.0, -9.81])
+    w_body = np.array([0.25, -0.15, 0.4])
+    a_world_fn = lambda t: np.array(
+        [0.4 * np.sin(2 * t), 0.2 * np.cos(1.3 * t), 0.1 * np.cos(t)]
+    )
+
+    n_steps = steps_per_kf * (n_kf - 1)
+    R = np.eye(3)
+    p = np.zeros(3)
+    v = np.array([1.0, 0.0, 0.2])
+    Rs, ps, vs, gyro, acc = [R.copy()], [p.copy()], [v.copy()], [], []
+    for k in range(n_steps):
+        t = k * imu_dt
+        a_w = a_world_fn(t)
+        gyro.append(w_body.copy())
+        acc.append(R.T @ (a_w - G))
+        p = p + v * imu_dt + 0.5 * a_w * imu_dt * imu_dt
+        v = v + a_w * imu_dt
+        R = R @ _np_exp_se3(np.r_[np.zeros(3), w_body * imu_dt])[:3, :3]
+        Rs.append(R.copy()); ps.append(p.copy()); vs.append(v.copy())
+    acc, gyro = np.array(acc), np.array(gyro)
+    Rs, ps, vs = np.array(Rs), np.array(ps), np.array(vs)
+    kf_idx = np.arange(n_kf) * steps_per_kf
+
+    Nga = jnp.eye(6, dtype=dtype) * 1e-6
+    walk = jnp.eye(6, dtype=dtype) * 1e-8
+    dts = np.full(steps_per_kf, imu_dt)
+
+    def pre_window(k):
+        sl = slice(k * steps_per_kf, (k + 1) * steps_per_kf)
+        return imu.preintegrate(
+            jnp.asarray(acc[sl], dtype), jnp.asarray(gyro[sl], dtype),
+            jnp.asarray(dts, dtype), jnp.zeros(3, dtype), jnp.zeros(3, dtype),
+            Nga, walk,
+        )
+
+    pre_b = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[pre_window(k) for k in range(n_kf - 1)]
+    )
+
+    Tbc, Kin, _ = make_rig(2, seed + 1)
+    cam = 0
+    # landmarks sprinkled in front of the trajectory
+    anchor = rng.randint(0, n_kf, n_lm)
+    X = np.zeros((n_lm, 3))
+    for l in range(n_lm):
+        Twb = np.eye(4)
+        Twb[:3, :3] = Rs[kf_idx[anchor[l]]]
+        Twb[:3, 3] = ps[kf_idx[anchor[l]]]
+        Twc = Twb @ Tbc[cam]
+        Xc = np.array([rng.uniform(-4, 4), rng.uniform(-2.5, 2.5), rng.uniform(5, 20)])
+        X[l] = Twc[:3, :3] @ Xc + Twc[:3, 3]
+
+    obs, okf, olm, ocam = [], [], [], []
+    for k in range(n_kf):
+        Twb = np.eye(4)
+        Twb[:3, :3] = Rs[kf_idx[k]]
+        Twb[:3, 3] = ps[kf_idx[k]]
+        Tcw = np.linalg.inv(Twb @ Tbc[cam])
+        Xc = X @ Tcw[:3, :3].T + Tcw[:3, 3]
+        vis = Xc[:, 2] > 1.0
+        for l in np.nonzero(vis)[0]:
+            u = Kin[cam, 0] * Xc[l, 0] / Xc[l, 2] + Kin[cam, 2]
+            v_ = Kin[cam, 1] * Xc[l, 1] / Xc[l, 2] + Kin[cam, 3]
+            obs.append([u + rng.randn() * noise_px, v_ + rng.randn() * noise_px])
+            okf.append(k); olm.append(int(l)); ocam.append(cam)
+    E = len(obs)
+
+    data = VIBAData(
+        pre=pre_b,
+        imu_pairs=jnp.asarray(
+            np.stack([np.arange(n_kf - 1), np.arange(1, n_kf)], 1), jnp.int32
+        ),
+        imu_valid=jnp.ones(n_kf - 1, bool),
+        bg_lin=jnp.zeros((n_kf - 1, 3), dtype),
+        ba_lin=jnp.zeros((n_kf - 1, 3), dtype),
+        walk_info=jnp.eye(6, dtype=dtype) * 1e4,
+        gravity=jnp.asarray(G, dtype),
+        obs=jnp.asarray(np.array(obs), dtype),
+        obs_kf=jnp.asarray(okf, jnp.int32),
+        obs_lm=jnp.asarray(olm, jnp.int32),
+        obs_cam=jnp.asarray(ocam, jnp.int32),
+        w=jnp.ones(E, dtype),
+        obs_valid=jnp.ones(E, bool),
+        Tbc=jnp.asarray(Tbc, dtype),
+        K_intr=jnp.asarray(Kin, dtype),
+        pose_fixed=jnp.asarray(np.arange(n_kf) == 0),
+    )
+    gt = VIBAState(
+        R=jnp.asarray(Rs[kf_idx], dtype),
+        p=jnp.asarray(ps[kf_idx], dtype),
+        v=jnp.asarray(vs[kf_idx], dtype),
+        bg=jnp.zeros((n_kf, 3), dtype),
+        ba=jnp.zeros((n_kf, 3), dtype),
+        X=jnp.asarray(X, dtype),
+    )
+    Rp = np.asarray(gt.R).copy()
+    for k in range(1, n_kf):
+        Rp[k] = Rp[k] @ _np_exp_se3(np.r_[np.zeros(3), rng.randn(3) * 0.01])[:3, :3]
+    free = (np.arange(n_kf) > 0)[:, None]
+    state0 = VIBAState(
+        R=jnp.asarray(Rp, dtype),
+        p=gt.p + jnp.asarray(rng.randn(n_kf, 3) * 0.05 * free, dtype),
+        v=gt.v + jnp.asarray(rng.randn(n_kf, 3) * 0.05 * free, dtype),
+        bg=gt.bg,
+        ba=gt.ba,
+        X=gt.X + jnp.asarray(rng.randn(n_lm, 3) * 0.02, dtype),
+    )
+    return data, state0, gt
+
+
+def make_essential_graph(n_kf=500, n_loop=40, drift=0.002, seed=0,
+                         dtype=jnp.float64):
+    """A Sim3 pose-graph instance (config 5): n_kf keyframes on a loopy
+    trajectory, consecutive-chain Sim3 edges measured from drifted odometry,
+    plus n_loop drift-free loop-closure edges to early keyframes
+    (Optimizer::OptimizeEssentialGraph topology, Optimizer.cc:1390-1680).
+
+    Returns (data: EssentialGraphData, state0: Sim3Field drifted, gt poses).
+    """
+    from ..solver.sim3_opt import EssentialGraphData, Sim3Field
+
+    rng = np.random.RandomState(seed)
+    # ground truth: circular-ish trajectory that revisits its start
+    Ts = [np.eye(4)]
+    w = 2 * np.pi / n_kf
+    for k in range(1, n_kf):
+        xi = np.array([1.0, 0.0, 0.0, 0.0, 0.0, w]) * 1.0
+        Ts.append(Ts[-1] @ _np_exp_se3(xi * 0.1))
+    Ts = np.stack(Ts)
+
+    # drifted estimates: accumulate noisy relative motions
+    Td = [Ts[0]]
+    for k in range(1, n_kf):
+        rel = np.linalg.inv(Ts[k - 1]) @ Ts[k]
+        rel = rel @ _np_exp_se3(rng.randn(6) * drift)
+        Td.append(Td[-1] @ rel)
+    Td = np.stack(Td)
+
+    pairs, ms, mR, mt = [], [], [], []
+    # chain edges measured from the DRIFTED odometry (consistent with state0)
+    for k in range(1, n_kf):
+        rel = np.linalg.inv(Td[k]) @ Td[k - 1]
+        pairs.append([k - 1, k]); ms.append(1.0)
+        mR.append(rel[:3, :3]); mt.append(rel[:3, 3])
+    # loop edges: drift-free ground-truth constraints to early keyframes
+    for i in range(n_loop):
+        a = int(rng.randint(0, n_kf // 4))
+        b = int(rng.randint(3 * n_kf // 4, n_kf))
+        rel = np.linalg.inv(Ts[b]) @ Ts[a]
+        pairs.append([a, b]); ms.append(1.0)
+        mR.append(rel[:3, :3]); mt.append(rel[:3, 3])
+
+    E = len(pairs)
+    data = EssentialGraphData(
+        pairs=jnp.asarray(np.array(pairs), jnp.int32),
+        meas_s=jnp.asarray(np.array(ms), dtype),
+        meas_R=jnp.asarray(np.stack(mR), dtype),
+        meas_t=jnp.asarray(np.stack(mt), dtype),
+        valid=jnp.ones(E, bool),
+        fixed=jnp.asarray(np.arange(n_kf) == 0),
+        fix_scale=jnp.asarray(True),
+    )
+    Tdw = np.linalg.inv(Td)  # vertices store world->body (Scw convention)
+    state0 = Sim3Field(
+        s=jnp.ones(n_kf, dtype),
+        R=jnp.asarray(Tdw[:, :3, :3], dtype),
+        t=jnp.asarray(Tdw[:, :3, 3], dtype),
+    )
+    return data, state0, Ts
