@@ -169,7 +169,8 @@ def distribute_quadtree(xy: np.ndarray, resp: np.ndarray, min_x, max_x,
     picks = [nd[4][np.argmax(resp[nd[4]])] for nd in nodes]
     picks = np.asarray(picks, np.int64)
     if len(picks) > budget:
-        order = np.argsort(-resp[picks])
+        # stable so tie order is deterministic (and matches the native path)
+        order = np.argsort(-resp[picks], kind="stable")
         picks = picks[order[:budget]]
     return picks
 
@@ -326,15 +327,28 @@ class OrbPipeline:
         self.n_features = n
         self._per_level_budgets()
 
-    def extract(self, image: np.ndarray):
+    def extract(self, image: np.ndarray, force_python: bool = False):
         """-> (keypoints (N,2) level-0 px, octaves (N,), descriptors (N,32),
-        angles (N,) rad)."""
+        angles (N,) rad).
+
+        Dispatches to the native C++ pipeline (native/orb_fast.cpp — same
+        algorithm, production throughput) when the toolchain is available;
+        this NumPy body is the oracle and the fallback."""
         if image.ndim == 3:
             # ITU-R 601 luma
             image = np.clip(
                 0.114 * image[..., 0] + 0.587 * image[..., 1]
                 + 0.299 * image[..., 2], 0, 255
             ).astype(np.uint8)
+        if not force_python:
+            from .. import native
+
+            if native.available("orb_fast"):
+                return native.orb_extract(
+                    image, self.n_levels, self.scale_factor, self.ini_th,
+                    self.min_th, np.asarray(self.budgets, np.int32),
+                    _BRIEF, _PATCH_OFF,
+                )
         pyr = [image]
         for lv in range(1, self.n_levels):
             s = self.scale_factor ** lv

@@ -14,25 +14,24 @@ import sysconfig
 
 import numpy as np
 
-_mod = None
-_tried = False
+_mods: dict = {}
 
 
-def _build_and_load():
-    global _mod, _tried
-    if _tried:
-        return _mod
-    _tried = True
+def _build_and_load(name: str = "graph_builder"):
+    """Compile + import one of the extension sources in this directory.
+    Cache keyed on source hash — the artifact name embeds it, plus the
+    Python/ABI/platform tag via EXT_SUFFIX, so a binary built with
+    -march=native on another host or Python is never reused (it would
+    SIGILL or fail to import). Artifacts are gitignored."""
+    if name in _mods:
+        return _mods[name]
+    _mods[name] = None
     here = os.path.dirname(os.path.abspath(__file__))
-    src = os.path.join(here, "graph_builder.cpp")
-    # Cache keyed on source hash — the artifact name embeds it, plus the
-    # Python/ABI/platform tag via EXT_SUFFIX, so a binary built with
-    # -march=native on another host or Python is never reused (it would
-    # SIGILL or fail to import). Artifacts are gitignored.
+    src = os.path.join(here, f"{name}.cpp")
     with open(src, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:12]
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    out = os.path.join(here, f"_graph_builder_{tag}" + suffix)
+    out = os.path.join(here, f"_{name}_{tag}" + suffix)
     if not os.path.exists(out):
         include = sysconfig.get_paths()["include"]
         cmd = [
@@ -44,27 +43,48 @@ def _build_and_load():
         except Exception:
             return None
     try:
-        spec = importlib.util.spec_from_file_location("_graph_builder", out)
+        spec = importlib.util.spec_from_file_location(f"_{name}", out)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        _mod = mod
+        _mods[name] = mod
     except ImportError:
-        _mod = None
-    return _mod
+        _mods[name] = None
+    return _mods[name]
 
 
-def _require():
-    mod = _build_and_load()
+def _require(name: str = "graph_builder"):
+    mod = _build_and_load(name)
     if mod is None:
         raise RuntimeError(
-            "amcslam_tpu.native: C++ extension unavailable (no toolchain or "
-            "build failed); gate calls with native.available()"
+            f"amcslam_tpu.native: C++ extension {name!r} unavailable (no "
+            "toolchain or build failed); gate calls with native.available()"
         )
     return mod
 
 
-def available() -> bool:
-    return _build_and_load() is not None
+def available(name: str = "graph_builder") -> bool:
+    return _build_and_load(name) is not None
+
+
+def orb_extract(img: np.ndarray, n_levels: int, scale_factor: float,
+                ini_th: int, min_th: int, budgets: np.ndarray,
+                pattern: np.ndarray, patch_off: np.ndarray):
+    """Native full-pyramid ORB extraction (see orb_fast.cpp). Returns
+    (xy (N,2) float64 level-0 px, octave (N,) int32, desc (N,32) uint8,
+    angle (N,) float64)."""
+    mod = _require("orb_fast")
+    xy_b, oc_b, de_b, an_b = mod.extract(
+        np.ascontiguousarray(img, np.uint8), int(n_levels),
+        float(scale_factor), int(ini_th), int(min_th),
+        np.ascontiguousarray(budgets, np.int32),
+        np.ascontiguousarray(pattern, np.int32),
+        np.ascontiguousarray(patch_off, np.int32),
+    )
+    xy = np.frombuffer(xy_b, np.float64).reshape(-1, 2).copy()
+    oc = np.frombuffer(oc_b, np.int32).astype(np.int64)
+    de = np.frombuffer(de_b, np.uint8).reshape(-1, 32).copy()
+    an = np.frombuffer(an_b, np.float64).copy()
+    return xy, oc, de, an
 
 
 def build_obs_edges(matches, kf_of_kp, cam_of_kp, prev_slot,

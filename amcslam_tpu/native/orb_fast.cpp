@@ -1,0 +1,545 @@
+// Native ORB extraction pipeline (the C++ host-runtime fast path of
+// frontend/orb.py).
+//
+// The reference front-end (ORBextractor.cc:410-1160) is a hand-tuned C++
+// pipeline: 8-level pyramid, per-cell FAST-9/16 with an initial/minimum
+// threshold retry, quadtree redistribution (DistributeOctTree, :571),
+// intensity-centroid orientation, 7x7 sigma-2 Gaussian blur, and
+// rotated-BRIEF sampling. The Python rebuild in frontend/orb.py keeps the
+// behavioral contract as vectorized NumPy; this extension is the same
+// algorithm in C++ for production throughput (the NumPy path stays as the
+// oracle and the no-toolchain fallback). CPython C-API on NumPy buffers,
+// no pybind11 (Environment notes); the GIL is released around the compute.
+//
+// Exposed:
+//   extract(img (H,W) uint8, n_levels, scale_factor, ini_th, min_th,
+//           budgets (n_levels,) int32, pattern (256,4) int32,
+//           patch_off (P,2) int32 /* (dy,dx) circular patch */)
+//     -> (xy (N,2) float64 level-0 px, octave (N,) int32,
+//         desc (N,32) uint8, angle (N,) float64)
+//
+// Rounding uses nearbyint (round-half-even) everywhere NumPy uses np.round,
+// so outputs track the Python oracle bit-for-bit on integer-valued inputs.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <algorithm>
+#include <cfenv>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int HALF_PATCH = 15;
+constexpr int EDGE_THRESHOLD = 19;
+constexpr int CELL_W = 35;
+
+struct Buf {
+  Py_buffer view{};
+  bool ok = false;
+  ~Buf() {
+    if (ok) PyBuffer_Release(&view);
+  }
+  bool acquire(PyObject* obj, int flags = PyBUF_C_CONTIGUOUS) {
+    if (PyObject_GetBuffer(obj, &view, flags) != 0) return false;
+    ok = true;
+    return true;
+  }
+};
+
+// Bresenham circle of radius 3, clockwise from 12 o'clock (dx, dy).
+constexpr int CIRCLE[16][2] = {
+    {0, -3}, {1, -3}, {2, -2}, {3, -1}, {3, 0},   {3, 1},
+    {2, 2},  {1, 3},  {0, 3},  {-1, 3}, {-2, 2},  {-3, 1},
+    {-3, 0}, {-3, -1}, {-2, -2}, {-1, -3}};
+
+// 65536-entry LUT: does any circular run of >= 9 consecutive set bits exist?
+struct ArcLut {
+  std::vector<uint8_t> lut;
+  ArcLut() : lut(1 << 16) {
+    for (uint32_t m = 0; m < (1u << 16); ++m) {
+      uint32_t ext = (m << 16) | m;
+      int run = 0, best = 0;
+      for (int b = 0; b < 32; ++b) {
+        run = (ext >> b) & 1 ? run + 1 : 0;
+        best = std::max(best, run);
+      }
+      lut[m] = best >= 9;
+    }
+  }
+};
+const ArcLut ARC;
+
+struct Image {
+  std::vector<uint8_t> data;
+  int h = 0, w = 0;
+  uint8_t at(int y, int x) const { return data[(size_t)y * w + x]; }
+};
+
+void resize_bilinear(const uint8_t* src, int H, int W, Image& out, int h,
+                     int w) {
+  out.h = h;
+  out.w = w;
+  out.data.resize((size_t)h * w);
+  std::vector<int> y0(h), y1(h), x0(w), x1(w);
+  std::vector<double> fy(h), fx(w);
+  // fy/fx = clip(coord - clipped_floor, 0, 1), matching _resize_bilinear
+  for (int i = 0; i < h; ++i) {
+    double ys = (i + 0.5) * (double)H / h - 0.5;
+    int a = (int)std::floor(ys);
+    y0[i] = std::min(std::max(a, 0), H - 1);
+    y1[i] = std::min(std::max(a + 1, 0), H - 1);
+    fy[i] = std::min(std::max(ys - y0[i], 0.0), 1.0);
+  }
+  for (int j = 0; j < w; ++j) {
+    double xs = (j + 0.5) * (double)W / w - 0.5;
+    int a = (int)std::floor(xs);
+    x0[j] = std::min(std::max(a, 0), W - 1);
+    x1[j] = std::min(std::max(a + 1, 0), W - 1);
+    fx[j] = std::min(std::max(xs - x0[j], 0.0), 1.0);
+  }
+  for (int i = 0; i < h; ++i) {
+    const uint8_t* r0 = src + (size_t)y0[i] * W;
+    const uint8_t* r1 = src + (size_t)y1[i] * W;
+    double wy = fy[i];
+    uint8_t* dst = &out.data[(size_t)i * w];
+    for (int j = 0; j < w; ++j) {
+      double v = r0[x0[j]] * (1 - wy) * (1 - fx[j]) +
+                 r0[x1[j]] * (1 - wy) * fx[j] +
+                 r1[x0[j]] * wy * (1 - fx[j]) + r1[x1[j]] * wy * fx[j];
+      v = std::nearbyint(v);
+      dst[j] = (uint8_t)std::min(std::max(v, 0.0), 255.0);
+    }
+  }
+}
+
+// FAST-9/16 at two thresholds in one pass. score/min-corner at min_th,
+// plus the ini_th corner mask.
+void fast_detect2(const Image& im, int min_th, int ini_th,
+                  std::vector<int32_t>& score, std::vector<uint8_t>& ok_min,
+                  std::vector<uint8_t>& ok_ini) {
+  int H = im.h, W = im.w;
+  score.assign((size_t)H * W, 0);
+  ok_min.assign((size_t)H * W, 0);
+  ok_ini.assign((size_t)H * W, 0);
+  if (H <= 6 || W <= 6) return;
+  // circle sample positions as linear offsets into the image buffer
+  std::ptrdiff_t off[16];
+  for (int k = 0; k < 16; ++k)
+    off[k] = (std::ptrdiff_t)CIRCLE[k][1] * W + CIRCLE[k][0];
+  const uint8_t* base = im.data.data();
+  for (int y = 3; y < H - 3; ++y) {
+    const uint8_t* row = base + (size_t)y * W;
+    for (int x = 3; x < W - 3; ++x) {
+      const uint8_t* p = row + x;
+      int c = *p;
+      // compass-point early exit: any 9-contiguous arc contains one of
+      // {0, 8} and at least two of {0, 4, 8, 12}
+      int d0 = p[off[0]] - c, d8 = p[off[8]] - c;
+      int d4 = p[off[4]] - c, d12 = p[off[12]] - c;
+      int nb = (d0 > min_th) + (d4 > min_th) + (d8 > min_th) + (d12 > min_th);
+      int nd = (d0 < -min_th) + (d4 < -min_th) + (d8 < -min_th) +
+               (d12 < -min_th);
+      if (nb < 2 && nd < 2) continue;
+      int d[16];
+      uint32_t mb_min = 0, md_min = 0;
+      for (int k = 0; k < 16; ++k) {
+        d[k] = p[off[k]] - c;
+        if (d[k] > min_th) mb_min |= 1u << k;
+        if (d[k] < -min_th) md_min |= 1u << k;
+      }
+      bool corner_min = ARC.lut[mb_min] || ARC.lut[md_min];
+      if (!corner_min) continue;
+      uint32_t mb_ini = 0, md_ini = 0;
+      for (int k = 0; k < 16; ++k) {
+        if (d[k] > ini_th) mb_ini |= 1u << k;
+        if (d[k] < -ini_th) md_ini |= 1u << k;
+      }
+      size_t idx = (size_t)y * W + x;
+      ok_min[idx] = 1;
+      ok_ini[idx] = ARC.lut[mb_ini] || ARC.lut[md_ini];
+      int resp = 0;
+      for (int k = 0; k < 16; ++k) {
+        int a = std::abs(d[k]);
+        if (a > min_th) resp += a - min_th;
+      }
+      score[idx] = resp;
+    }
+  }
+}
+
+struct Node {
+  double x0, x1, y0, y1;
+  std::vector<int> idx;
+};
+
+// DistributeOctTree semantics, matching frontend/orb.py distribute_quadtree.
+std::vector<int> distribute_quadtree(const std::vector<double>& xs,
+                                     const std::vector<double>& ys,
+                                     const std::vector<int32_t>& resp,
+                                     double min_x, double max_x, double min_y,
+                                     double max_y, int budget) {
+  int n = (int)xs.size();
+  std::vector<int> out;
+  if (n == 0) return out;
+  if (n <= budget) {
+    out.resize(n);
+    for (int i = 0; i < n; ++i) out[i] = i;
+    return out;
+  }
+  int n_ini = std::max(
+      1, (int)std::nearbyint((max_x - min_x) / std::max(max_y - min_y, 1.0)));
+  double hx = (max_x - min_x) / n_ini;
+  std::vector<Node> nodes;
+  for (int i = 0; i < n_ini; ++i) {
+    Node nd{min_x + i * hx, min_x + (i + 1) * hx, min_y, max_y, {}};
+    for (int k = 0; k < n; ++k)
+      if (xs[k] >= nd.x0 && xs[k] < nd.x1) nd.idx.push_back(k);
+    if (!nd.idx.empty()) nodes.push_back(std::move(nd));
+  }
+  while (true) {
+    std::vector<int> splittable;
+    for (int i = 0; i < (int)nodes.size(); ++i)
+      if (nodes[i].idx.size() > 1) splittable.push_back(i);
+    if (splittable.empty() || (int)nodes.size() >= budget) break;
+    // most populated first (stable for ties, like Python list.sort)
+    std::stable_sort(splittable.begin(), splittable.end(), [&](int a, int b) {
+      return nodes[a].idx.size() > nodes[b].idx.size();
+    });
+    std::vector<char> is_split(nodes.size(), 0);
+    for (int i : splittable) is_split[i] = 1;
+    std::vector<Node> next;
+    for (int i = 0; i < (int)nodes.size(); ++i)
+      if (!is_split[i]) next.push_back(nodes[i]);
+    for (size_t done = 0; done < splittable.size(); ++done) {
+      const Node& nd = nodes[splittable[done]];
+      double xm = 0.5 * (nd.x0 + nd.x1), ym = 0.5 * (nd.y0 + nd.y1);
+      const double q[4][4] = {{nd.x0, xm, nd.y0, ym},
+                              {xm, nd.x1, nd.y0, ym},
+                              {nd.x0, xm, ym, nd.y1},
+                              {xm, nd.x1, ym, nd.y1}};
+      for (auto& qq : q) {
+        Node child{qq[0], qq[1], qq[2], qq[3], {}};
+        for (int k : nd.idx)
+          if (xs[k] >= qq[0] && xs[k] < qq[1] && ys[k] >= qq[2] &&
+              ys[k] < qq[3])
+            child.idx.push_back(k);
+        if (!child.idx.empty()) next.push_back(std::move(child));
+      }
+      if ((int)next.size() >= budget) {
+        for (size_t r = done + 1; r < splittable.size(); ++r)
+          next.push_back(nodes[splittable[r]]);
+        break;
+      }
+    }
+    // no-progress sweep: keep the OLD node list (matches the Python
+    // `if len(new_nodes) == len(nodes): break` before reassignment)
+    if (next.size() == nodes.size()) break;
+    nodes = std::move(next);
+  }
+  std::vector<int> picks;
+  picks.reserve(nodes.size());
+  for (auto& nd : nodes) {
+    int best = nd.idx[0];
+    for (int k : nd.idx)
+      if (resp[k] > resp[best]) best = k;  // first max, like np.argmax
+    picks.push_back(best);
+  }
+  if ((int)picks.size() > budget) {
+    std::stable_sort(picks.begin(), picks.end(),
+                     [&](int a, int b) { return resp[a] > resp[b]; });
+    picks.resize(budget);
+  }
+  return picks;
+}
+
+// 7x7 sigma-2 separable Gaussian with reflect-101 borders. `row_need`
+// marks the output rows actually sampled by descriptors (nullptr = all);
+// unneeded rows are skipped — the blur is only consumed at keypoint
+// patches, so this is exact for every sampled pixel.
+void gaussian_blur7(const Image& im, Image& out,
+                    const std::vector<uint8_t>* row_need = nullptr) {
+  const int r = 3;
+  double k[7], sum = 0;
+  for (int i = -r; i <= r; ++i) {
+    k[i + r] = std::exp(-0.5 * (i / 2.0) * (i / 2.0));
+    sum += k[i + r];
+  }
+  for (int i = 0; i < 7; ++i) k[i] /= sum;
+  int H = im.h, W = im.w;
+  out.h = H;
+  out.w = W;
+  out.data.assign((size_t)H * W, 0);
+  auto refl = [](int i, int n) {  // reflect-101 (np.pad mode="reflect")
+    if (i < 0) i = -i;
+    if (i >= n) i = 2 * n - 2 - i;
+    return i;
+  };
+  // tmp rows are needed at +-r around every output row
+  std::vector<uint8_t> tmp_need;
+  if (row_need) {
+    tmp_need.assign(H, 0);
+    for (int y = 0; y < H; ++y)
+      if ((*row_need)[y])
+        for (int i = -r; i <= r; ++i) tmp_need[refl(y + i, H)] = 1;
+  }
+  std::vector<double> tmp((size_t)H * W);
+  for (int y = 0; y < H; ++y) {
+    if (row_need && !tmp_need[y]) continue;
+    const uint8_t* row = &im.data[(size_t)y * W];
+    double* t = &tmp[(size_t)y * W];
+    for (int x = 0; x < r; ++x) {
+      double v = 0;
+      for (int i = -r; i <= r; ++i) v += k[i + r] * row[refl(x + i, W)];
+      t[x] = v;
+    }
+    for (int x = r; x < W - r; ++x) {
+      double v = 0;
+      for (int i = -r; i <= r; ++i) v += k[i + r] * row[x + i];
+      t[x] = v;
+    }
+    for (int x = W - r; x < W; ++x) {
+      double v = 0;
+      for (int i = -r; i <= r; ++i) v += k[i + r] * row[refl(x + i, W)];
+      t[x] = v;
+    }
+  }
+  for (int y = 0; y < H; ++y) {
+    if (row_need && !(*row_need)[y]) continue;
+    uint8_t* o = &out.data[(size_t)y * W];
+    for (int x = 0; x < W; ++x) {
+      double v = 0;
+      for (int i = -r; i <= r; ++i)
+        v += k[i + r] * tmp[(size_t)refl(y + i, H) * W + x];
+      v = std::nearbyint(v);
+      o[x] = (uint8_t)std::min(std::max(v, 0.0), 255.0);
+    }
+  }
+}
+
+struct LevelOut {
+  std::vector<double> xy;     // (n, 2) level-0 coords
+  std::vector<int32_t> oct;   // (n,)
+  std::vector<uint8_t> desc;  // (n, 32)
+  std::vector<double> ang;    // (n,)
+};
+
+void extract_level(const Image& im, int lv, double scale, int ini_th,
+                   int min_th, int budget, const int32_t* pattern,
+                   const int32_t* patch_off, int n_patch, LevelOut& out) {
+  int b = EDGE_THRESHOLD - 3;
+  int H = im.h, W = im.w;
+  if (H <= 2 * b || W <= 2 * b) return;
+  std::vector<int32_t> score;
+  std::vector<uint8_t> ok_min, ok_ini;
+  fast_detect2(im, min_th, ini_th, score, ok_min, ok_ini);
+
+  // 3x3 NMS on score where ok_min (raster-order tie rules), inside border
+  std::vector<double> cxs, cys;
+  std::vector<int32_t> cresp;
+  std::vector<uint8_t> cini;
+  std::vector<int64_t> ccell;
+  int cells_x = (W - 2 * b) / CELL_W + 1;
+  auto sc = [&](int y, int x) -> int64_t {
+    if (y < 0 || y >= H || x < 0 || x >= W) return -1;
+    return ok_min[(size_t)y * W + x] ? (int64_t)score[(size_t)y * W + x] : 0;
+  };
+  for (int y = b; y < H - b; ++y) {
+    for (int x = b; x < W - b; ++x) {
+      size_t idx = (size_t)y * W + x;
+      if (!ok_min[idx]) continue;
+      int64_t s = score[idx];
+      // NMS over the raw (masked) score map, exactly like
+      // _nms3(np.where(ok_min, score, 0))
+      if (!(s > sc(y - 1, x - 1) && s > sc(y - 1, x) && s > sc(y - 1, x + 1) &&
+            s > sc(y, x - 1) && s >= sc(y, x + 1) && s >= sc(y + 1, x - 1) &&
+            s >= sc(y + 1, x) && s >= sc(y + 1, x + 1)))
+        continue;
+      cxs.push_back(x);
+      cys.push_back(y);
+      cresp.push_back((int32_t)s);
+      cini.push_back(ok_ini[idx]);
+      ccell.push_back((int64_t)((y - b) / CELL_W) * cells_x + (x - b) / CELL_W);
+    }
+  }
+  if (cxs.empty()) return;
+  // per-cell ini/min retry: keep ini corners, plus everything in cells
+  // that have no ini corner
+  int64_t max_cell = *std::max_element(ccell.begin(), ccell.end());
+  std::vector<uint8_t> has_ini((size_t)max_cell + 1, 0);
+  for (size_t i = 0; i < ccell.size(); ++i)
+    if (cini[i]) has_ini[ccell[i]] = 1;
+  std::vector<double> xs, ys;
+  std::vector<int32_t> resp;
+  for (size_t i = 0; i < ccell.size(); ++i) {
+    if (cini[i] || !has_ini[ccell[i]]) {
+      xs.push_back(cxs[i]);
+      ys.push_back(cys[i]);
+      resp.push_back(cresp[i]);
+    }
+  }
+
+  std::vector<int> keep = distribute_quadtree(
+      xs, ys, resp, b - 0.0, W - b + 0.0, b - 0.0, H - b + 0.0, budget);
+  // NOTE: python passes (EDGE_THRESHOLD-3, w-EDGE_THRESHOLD+3) == (b, W-b)
+  if (keep.empty()) return;
+
+  // rotated-BRIEF reach: pattern offsets are clipped to +-(HALF_PATCH-1);
+  // a rotation stretches them to at most sqrt(2)*(HALF_PATCH-1) ~ 19.8,
+  // +0.5 for rounding -> 21 covers every sampled row
+  const int REACH = 21;
+  std::vector<uint8_t> row_need(H, 0);
+  for (int k : keep) {
+    int y = (int)ys[k];
+    for (int dy = -REACH; dy <= REACH; ++dy) {
+      int yy = std::min(std::max(y + dy, 0), H - 1);
+      row_need[yy] = 1;
+    }
+  }
+  Image blur;
+  gaussian_blur7(im, blur, &row_need);
+
+  size_t n0 = out.oct.size();
+  size_t n = keep.size();
+  out.xy.resize(2 * (n0 + n));
+  out.oct.resize(n0 + n);
+  out.desc.resize(32 * (n0 + n));
+  out.ang.resize(n0 + n);
+  for (size_t i = 0; i < n; ++i) {
+    int k = keep[i];
+    int x = (int)xs[k], y = (int)ys[k];
+    // intensity-centroid orientation over the circular patch
+    double m01 = 0, m10 = 0;
+    if (y >= HALF_PATCH && y < H - HALF_PATCH && x >= HALF_PATCH &&
+        x < W - HALF_PATCH) {
+      const uint8_t* ctr = &im.data[(size_t)y * W + x];
+      for (int p = 0; p < n_patch; ++p) {
+        int dy = patch_off[2 * p], dx = patch_off[2 * p + 1];
+        double v = ctr[(std::ptrdiff_t)dy * W + dx];
+        m01 += v * dy;
+        m10 += v * dx;
+      }
+    } else {
+      for (int p = 0; p < n_patch; ++p) {
+        int dy = patch_off[2 * p], dx = patch_off[2 * p + 1];
+        int yy = std::min(std::max(y + dy, 0), H - 1);
+        int xx = std::min(std::max(x + dx, 0), W - 1);
+        double v = im.at(yy, xx);
+        m01 += v * dy;
+        m10 += v * dx;
+      }
+    }
+    double ang = std::atan2(m01, m10);
+    double ca = std::cos(ang), sa = std::sin(ang);
+    uint8_t* d = &out.desc[32 * (n0 + i)];
+    std::memset(d, 0, 32);
+    bool interior = y >= REACH && y < H - REACH && x >= REACH && x < W - REACH;
+    const uint8_t* bc = &blur.data[(size_t)y * W + x];
+    for (int p = 0; p < 256; ++p) {
+      int px1 = pattern[4 * p], py1 = pattern[4 * p + 1];
+      int px2 = pattern[4 * p + 2], py2 = pattern[4 * p + 3];
+      uint8_t s1, s2;
+      if (interior) {
+        // lrint uses the current FP rounding mode (to-nearest-even, same
+        // as np.round) and compiles to one cvtsd2si
+        std::ptrdiff_t o1 = (std::ptrdiff_t)std::lrint(sa * px1 + ca * py1) * W
+                            + std::lrint(ca * px1 - sa * py1);
+        std::ptrdiff_t o2 = (std::ptrdiff_t)std::lrint(sa * px2 + ca * py2) * W
+                            + std::lrint(ca * px2 - sa * py2);
+        s1 = bc[o1];
+        s2 = bc[o2];
+      } else {
+        auto sample = [&](int px, int py) -> uint8_t {
+          int xr = (int)std::lrint(ca * px - sa * py);
+          int yr = (int)std::lrint(sa * px + ca * py);
+          int xx = std::min(std::max(x + xr, 0), W - 1);
+          int yy = std::min(std::max(y + yr, 0), H - 1);
+          return blur.at(yy, xx);
+        };
+        s1 = sample(px1, py1);
+        s2 = sample(px2, py2);
+      }
+      if (s1 < s2)
+        d[p >> 3] |= (uint8_t)(0x80u >> (p & 7));  // np.packbits bit order
+    }
+    out.xy[2 * (n0 + i)] = xs[k] * scale;
+    out.xy[2 * (n0 + i) + 1] = ys[k] * scale;
+    out.oct[n0 + i] = lv;
+    out.ang[n0 + i] = ang;
+  }
+}
+
+PyObject* py_extract(PyObject*, PyObject* args) {
+  PyObject *img_o, *budgets_o, *pattern_o, *patch_o;
+  int n_levels, ini_th, min_th;
+  double scale_factor;
+  if (!PyArg_ParseTuple(args, "OidiiOOO", &img_o, &n_levels, &scale_factor,
+                        &ini_th, &min_th, &budgets_o, &pattern_o, &patch_o))
+    return nullptr;
+  Buf img_b, bud_b, pat_b, off_b;
+  if (!img_b.acquire(img_o) || !bud_b.acquire(budgets_o) ||
+      !pat_b.acquire(pattern_o) || !off_b.acquire(patch_o)) {
+    PyErr_SetString(PyExc_TypeError, "expected contiguous buffers");
+    return nullptr;
+  }
+  if (img_b.view.ndim != 2 || img_b.view.itemsize != 1) {
+    PyErr_SetString(PyExc_TypeError, "img must be (H,W) uint8");
+    return nullptr;
+  }
+  int H = (int)img_b.view.shape[0], W = (int)img_b.view.shape[1];
+  const uint8_t* img = (const uint8_t*)img_b.view.buf;
+  const int32_t* budgets = (const int32_t*)bud_b.view.buf;
+  const int32_t* pattern = (const int32_t*)pat_b.view.buf;
+  const int32_t* patch_off = (const int32_t*)off_b.view.buf;
+  int n_patch = (int)off_b.view.shape[0];
+
+  LevelOut out;
+  Py_BEGIN_ALLOW_THREADS;
+  for (int lv = 0; lv < n_levels; ++lv) {
+    double s = std::pow(scale_factor, lv);
+    Image level;
+    if (lv == 0) {
+      level.h = H;
+      level.w = W;
+      level.data.assign(img, img + (size_t)H * W);
+    } else {
+      int h = std::max((int)std::nearbyint(H / s), 8);
+      int w = std::max((int)std::nearbyint(W / s), 8);
+      resize_bilinear(img, H, W, level, h, w);
+    }
+    extract_level(level, lv, s, ini_th, min_th, budgets[lv], pattern,
+                  patch_off, n_patch, out);
+  }
+  Py_END_ALLOW_THREADS;
+
+  size_t n = out.oct.size();
+  PyObject* xy = PyBytes_FromStringAndSize((const char*)out.xy.data(),
+                                           (Py_ssize_t)(n * 2 * 8));
+  PyObject* oc = PyBytes_FromStringAndSize((const char*)out.oct.data(),
+                                           (Py_ssize_t)(n * 4));
+  PyObject* de = PyBytes_FromStringAndSize((const char*)out.desc.data(),
+                                           (Py_ssize_t)(n * 32));
+  PyObject* an = PyBytes_FromStringAndSize((const char*)out.ang.data(),
+                                           (Py_ssize_t)(n * 8));
+  PyObject* tup = PyTuple_Pack(4, xy, oc, de, an);
+  Py_XDECREF(xy);
+  Py_XDECREF(oc);
+  Py_XDECREF(de);
+  Py_XDECREF(an);
+  return tup;
+}
+
+PyMethodDef methods[] = {
+    {"extract", py_extract, METH_VARARGS,
+     "Full ORB pyramid extraction; see module docstring."},
+    {nullptr, nullptr, 0, nullptr}};
+
+PyModuleDef moduledef = {PyModuleDef_HEAD_INIT, "_orb_fast",
+                         "Native ORB extraction pipeline", -1, methods};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__orb_fast(void) { return PyModule_Create(&moduledef); }

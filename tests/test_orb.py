@@ -184,3 +184,24 @@ def test_rotation_consistency_filter():
     idx2[0] = -1
     out2 = matcher.rotation_consistency(idx2, ang1, ang2)
     assert out2[0] == -1
+
+
+def test_native_orb_matches_python_oracle():
+    """The C++ pipeline (native/orb_fast.cpp) must reproduce the NumPy
+    oracle bit-for-bit: same keypoints, octaves, descriptors, and angles
+    (both sides use round-half-even and identical float64 arithmetic)."""
+    from amcslam_tpu import native
+
+    if not native.available("orb_fast"):
+        import pytest
+
+        pytest.skip("no native toolchain")
+    img = _textured_image(300, 400, n_blobs=300, seed=7)
+    p = OrbPipeline(n_features=500)
+    xyN, ocN, deN, anN = p.extract(img)
+    xyP, ocP, deP, anP = p.extract(img, force_python=True)
+    assert len(xyN) == len(xyP) > 100
+    assert np.array_equal(xyN, xyP)
+    assert np.array_equal(ocN, ocP)
+    assert np.array_equal(deN, deP)
+    assert np.allclose(anN, anP, atol=1e-12)
