@@ -26,3 +26,22 @@ import jax as _jax
 # framework to true-f32 matmuls; performance-critical large matmuls in the
 # solver opt back into faster precisions explicitly where it is safe.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the pipeline jits one program per padded
+# problem bucket (pose solve, local BA, ...); caching them across processes
+# removes the dominant cold-start cost of a run. Opt out by setting
+# AMCSLAM_NO_COMPILE_CACHE (e.g. when the cache dir is not writable).
+import os as _os
+
+if not _os.environ.get("AMCSLAM_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
+                      ".jax_cache"),
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except OSError:
+        pass

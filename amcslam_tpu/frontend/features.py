@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..pipeline.map_store import Frame
-from ..pipeline.matcher import hamming_table
+from ..pipeline.matcher import hamming
 from ..pipeline.rig import Rig
 from .orb import OrbPipeline, undistort_points
 
@@ -57,7 +57,7 @@ def stereo_match_depth(
     n, m = len(kp_l), len(kp_r)
     if n == 0 or m == 0:
         return -np.ones(n), -np.ones(n)
-    D = np.asarray(hamming_table(jnp.asarray(desc_l), jnp.asarray(desc_r)))
+    D = hamming(desc_l, desc_r)
     row_ok = np.abs(kp_l[:, 1:2] - kp_r[None, :, 1]) <= row_tol
     disp = kp_l[:, 0:1] - kp_r[None, :, 0]
     disp_ok = disp > min_disp

@@ -158,11 +158,18 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
     list), landmarks -> padded LocalBAData/BAState/handles."""
     kf_slot = {k.id: i for i, k in enumerate(kfs)}
     kf_map = {k.id: k for k in kfs}
-    K = len(kfs)
+    K_real = len(kfs)
+    # Bucket the pose count too (phantom poses: fixed, no velocity edge, no
+    # GP chain, referenced by no edge) — otherwise every new window size
+    # compiles a fresh local-BA program, and the window grows by one KF at a
+    # time early in a run.
+    K = _bucket(K_real, minimum=4)
 
     # --- pose-level arrays
     times = np.array([k.timestamp for k in kfs])
-    pose_fixed = np.arange(K) >= n_opt
+    if K > K_real:
+        times = np.concatenate([times, times[-1] + 1.0 + np.arange(K - K_real)])
+    pose_fixed = (np.arange(K) >= n_opt) | (np.arange(K) >= K_real)
     vel_valid = ~pose_fixed
 
     gp_pairs = []
@@ -220,6 +227,7 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
                 mg_close.append(_depth(k, obs.cam, mp) < CLOSE_DEPTH_TH)
 
     Em, Eg, Es = _bucket(max(len(mg), 1)), _bucket(max(len(sg), 1)), _bucket(max(len(st), 1))
+    Ng = _bucket(max(len(gp_pairs), 1), minimum=4)
     mg_a = np.array(mg) if mg else np.zeros((0, 8))
     sg_a = np.array(sg) if sg else np.zeros((0, 8))
     st_a = np.array(st) if st else np.zeros((0, 7))
@@ -240,9 +248,9 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
         pose_fixed=jnp.asarray(pose_fixed),
         vel_valid=jnp.asarray(vel_valid),
         qcinv22=jnp.asarray(rig.qc_inv_diag[2], dtype),
-        gp_pairs=jnp.asarray(_pad(gp_pairs, max(len(gp_pairs), 1)), jnp.int32),
-        gp_qi_inv=jnp.asarray(_pad(gp_qi_inv, max(len(gp_pairs), 1)), dtype),
-        gp_valid=jnp.asarray(_pad(np.ones(len(gp_pairs), bool), max(len(gp_pairs), 1), False)),
+        gp_pairs=jnp.asarray(_pad(gp_pairs, Ng), jnp.int32),
+        gp_qi_inv=jnp.asarray(_pad(gp_qi_inv, Ng), dtype),
+        gp_valid=jnp.asarray(_pad(np.ones(len(gp_pairs), bool), Ng, False)),
         gp_huber=jnp.asarray(gp_huber),
         Tbc_stereo=jnp.asarray(rig.Tbc[-1], dtype),
         K_stereo=jnp.asarray(rig.K[-1], dtype),
@@ -283,9 +291,11 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
 
     data = with_landmark_tables(data, L)
     X = _pad(np.stack([mp.position for mp in lms]) if lms else np.zeros((0, 3)), L)
+    T_all = np.stack([k.Twb for k in kfs] + [np.eye(4)] * (K - K_real))
+    v_all = np.stack([k.velocity for k in kfs] + [np.zeros(6)] * (K - K_real))
     state = BAState(
-        T=jnp.asarray(np.stack([k.Twb for k in kfs]), dtype),
-        v=jnp.asarray(np.stack([k.velocity for k in kfs]), dtype),
+        T=jnp.asarray(T_all, dtype),
+        v=jnp.asarray(v_all, dtype),
         Text=jnp.asarray(rig.Tbc[:Cx], dtype),
         X=jnp.asarray(X, dtype),
     )

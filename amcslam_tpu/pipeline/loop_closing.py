@@ -31,6 +31,15 @@ from .map_store import KeyFrame, Map
 from .rig import Rig
 
 
+def _global_ba_lazy(data, state, num_iterations):
+    from ..solver.ba import global_ba
+
+    return global_ba(data, state, num_iterations)
+
+
+_global_ba_jit = jax.jit(_global_ba_lazy, static_argnums=2)
+
+
 class LoopClosing:
     def __init__(self, rig: Rig, map_: Map, kfdb: KeyFrameDatabase | None = None,
                  fix_scale: bool = True, min_matches: int = 20,
@@ -412,9 +421,7 @@ class LoopClosing:
         from ..solver.ba import global_ba
 
         data, state, handles = extract_global_ba(self.map, self.rig)
-        new_state, stats = jax.jit(
-            lambda d, s: global_ba(d, s, num_iterations)
-        )(data, state)
+        new_state, stats = _global_ba_jit(data, state, num_iterations)
         err_end = float(stats.chi2)
         if not np.isfinite(err_end):
             return

@@ -55,6 +55,35 @@ def hamming_table(d1: jax.Array, d2: jax.Array) -> jax.Array:
     return (s1 + s2.T - 2.0 * dot).astype(jnp.int32)
 
 
+def _bucket(n: int) -> int:
+    b = 32
+    while b < n:
+        b *= 2
+    return b
+
+
+def hamming(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    """Host-facing Hamming table: native C++ popcount for pipeline-scale
+    tables (no device dispatch, no shape-keyed recompiles — descriptor
+    counts change every frame), falling back to the jitted bit-plane matmul
+    with pow2-bucketed shapes so each backend compiles O(log n) programs
+    instead of one per frame."""
+    n, m = len(d1), len(d2)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), np.int32)
+    from .. import native
+
+    if native.available() and n * m <= (1 << 22):
+        return native.hamming_matrix(d1, d2)
+    nb, mb = _bucket(n), _bucket(m)
+    p1 = np.zeros((nb, 32), np.uint8)
+    p1[:n] = d1
+    p2 = np.full((mb, 32), 0xFF, np.uint8)  # padding far from everything
+    p2[:m] = d2
+    D = np.asarray(hamming_table(jnp.asarray(p1), jnp.asarray(p2)))
+    return D[:n, :m]
+
+
 def rotation_consistency(idx: np.ndarray, ang1: np.ndarray, ang2: np.ndarray,
                          n_bins: int = HISTO_LENGTH, n_keep: int = 3):
     """Reject matches whose keypoint-angle difference disagrees with the
@@ -100,7 +129,7 @@ def match_descriptors(
     mbCheckOrientation). Returns (idx2 per idx1, -1 none)."""
     if len(d1) == 0 or len(d2) == 0:
         return -np.ones(len(d1), np.int64)
-    D = np.asarray(hamming_table(jnp.asarray(d1), jnp.asarray(d2)))
+    D = hamming(d1, d2)
     best2 = np.argmin(D, axis=1)
     bestd = D[np.arange(len(d1)), best2]
     Ds = np.sort(D, axis=1)
@@ -147,7 +176,7 @@ def search_by_projection(
         r = radius
     admissible = (du <= r) & (dv <= r) & vis[:, None]
 
-    D = np.asarray(hamming_table(jnp.asarray(mp_descriptors), jnp.asarray(kp_desc)))
+    D = hamming(mp_descriptors, kp_desc)
     D = np.where(admissible, D, 1 << 30)
     best = np.argmin(D, axis=1)
     bestd = D[np.arange(M), best]
@@ -199,7 +228,7 @@ def search_by_sim3(
     ok12 = (z12 > 0.1) & (err12 <= radius)
 
     admissible = ok21 & ok12.T
-    D = np.asarray(hamming_table(jnp.asarray(d1), jnp.asarray(d2)))
+    D = hamming(d1, d2)
     D = np.where(admissible, D, 1 << 30)
     best2 = np.argmin(D, axis=1)
     bestd = D[np.arange(n1), best2]
@@ -226,7 +255,7 @@ def search_for_triangulation(
     den = np.maximum(lines2[:, 0] ** 2 + lines2[:, 1] ** 2, 1e-12)[:, None]
     d_epi2 = num * num / den
     admissible = d_epi2 < epi_th
-    D = np.asarray(hamming_table(jnp.asarray(d1), jnp.asarray(d2)))
+    D = hamming(d1, d2)
     D = np.where(admissible, D, 1 << 30)
     best = np.argmin(D, axis=1)
     bestd = D[np.arange(len(kp1)), best]

