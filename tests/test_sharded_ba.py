@@ -60,3 +60,27 @@ def test_sharded_matches_single_chip(mesh):
     s2, st2 = run(sb.state0)
     np.testing.assert_allclose(float(st2.chi2), float(st1.chi2), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T), atol=1e-9)
+
+
+def test_sharded_global_ba_matches_single_chip(mesh):
+    """The same landmark-axis sharding serves the full/global BA (config 5b:
+    gp_huber Huber chain over the whole temporal sequence) — a loop-closure
+    GBA scales over chips exactly like the local window does."""
+    data, state0, gt = make_local_ba_problem(
+        n_kf=6, n_fixed=1, n_lm=48, obs_per_lm=3, seed=11
+    )
+    data = data._replace(gp_huber=jnp.asarray(True))
+    single = make_ba_problem(
+        data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True
+    )
+    sb = shard_ba_data(data, state0, 8)
+    sharded = make_sharded_ba_problem(mesh, sb, huber_on=True)
+
+    c1 = float(jax.jit(single.chi2)(state0))
+    c2 = float(jax.jit(sharded.chi2)(sb.state0))
+    np.testing.assert_allclose(c2, c1, rtol=1e-12)
+
+    s1, st1 = jax.jit(lambda s: lm_optimize(single, s, 4, lambda_init=1e-5))(state0)
+    s2, st2 = jax.jit(lambda s: lm_optimize(sharded, s, 4, lambda_init=1e-5))(sb.state0)
+    np.testing.assert_allclose(float(st2.chi2), float(st1.chi2), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T), atol=1e-8)
