@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..ops import host_geom
 from ..ops import gp, lie
 from ..ransac.vel_ransac import VelRansacData, mc_ransac
 from ..solver.pose_solver import pose_gp_optimize
@@ -46,24 +47,19 @@ class TrackState(Enum):
     LOST = 4
 
 
-def _np_exp_se3(xi):
-    return np.asarray(lie.exp_se3(jnp.asarray(xi, jnp.float64)))
-
-
-def _np_log_se3(T):
-    return np.asarray(lie.log_se3(jnp.asarray(T, jnp.float64)))
+# Host glue runs single 4x4 ops hundreds of times per frame; the pure-NumPy
+# closed forms in ops/host_geom avoid a device dispatch per op (~5 ms each
+# through a remote-TPU tunnel). Parity with the jitted kernels is asserted
+# in tests/test_lie.py::test_host_geom_matches_device.
+_np_exp_se3 = host_geom.exp_se3
+_np_log_se3 = host_geom.log_se3
 
 
 def interp_camera_pose(T_prev, v_prev, t_prev, T_cur, v_cur, t_cur, t_cam):
     """GP-interpolated body pose at an async camera's timestamp
     (MultiFrame::UpdatePoseMatrices, Frame.cc:391-417)."""
-    eye = jnp.eye(6, dtype=jnp.float64)
-    return np.asarray(
-        gp.query_pose(
-            jnp.asarray(T_prev, jnp.float64), jnp.asarray(T_cur, jnp.float64),
-            jnp.asarray(v_prev, jnp.float64), jnp.asarray(v_cur, jnp.float64),
-            float(t_prev), float(t_cur), float(t_cam), eye, eye,
-        )
+    return host_geom.gp_interp_pose(
+        T_prev, v_prev, float(t_prev), T_cur, v_cur, float(t_cur), float(t_cam)
     )
 
 

@@ -145,3 +145,45 @@ def test_vmap_and_f32():
     # tiny angles in f32 must not produce NaN
     tiny = jax.vmap(lie.log_se3)(jax.vmap(lie.exp_se3)(xis32 * 1e-6))
     assert np.all(np.isfinite(np.asarray(tiny)))
+
+
+def test_host_geom_matches_device():
+    """ops/host_geom (pure NumPy, host-glue fast path) must match the jitted
+    kernels: exp/log SE(3), Jr^-1, and GP pose interpolation."""
+    import numpy as np
+
+    from amcslam_tpu.ops import gp, host_geom
+
+    rng = np.random.RandomState(0)
+    for i in range(10):
+        xi = rng.randn(6) * (2.0 if i % 2 else 0.01)
+        T_np = host_geom.exp_se3(xi)
+        T_jx = np.asarray(lie.exp_se3(jnp.asarray(xi, jnp.float64)))
+        np.testing.assert_allclose(T_np, T_jx, atol=1e-12)
+        np.testing.assert_allclose(
+            host_geom.log_se3(T_np),
+            np.asarray(lie.log_se3(jnp.asarray(T_np, jnp.float64))),
+            atol=1e-9,
+        )
+        np.testing.assert_allclose(
+            host_geom.right_jacobian_pose3_inv(xi),
+            np.asarray(lie.right_jacobian_pose3_inv(jnp.asarray(xi, jnp.float64))),
+            atol=1e-9,
+        )
+
+    for _ in range(5):
+        T1 = host_geom.exp_se3(rng.randn(6) * 0.5)
+        v1 = rng.randn(6) * 0.5
+        v2 = rng.randn(6) * 0.5
+        t1, t2, t = 0.0, 0.4, 0.17
+        T2 = T1 @ host_geom.exp_se3(v1 * (t2 - t1) * 0.9)
+        eye = jnp.eye(6, dtype=jnp.float64)
+        T_jx = np.asarray(
+            gp.query_pose(
+                jnp.asarray(T1, jnp.float64), jnp.asarray(T2, jnp.float64),
+                jnp.asarray(v1, jnp.float64), jnp.asarray(v2, jnp.float64),
+                t1, t2, t, eye, eye,
+            )
+        )
+        T_np = host_geom.gp_interp_pose(T1, v1, t1, T2, v2, t2, t)
+        np.testing.assert_allclose(T_np, T_jx, atol=1e-9)
