@@ -363,6 +363,12 @@ class Tracking:
             return
         A = np.array(rows)
         n = len(rows)
+        # pow2-bucket the row count: the match count changes every frame and
+        # an unbucketed shape retraces the jitted RANSAC per frame
+        nb = 16
+        while nb < n:
+            nb *= 2
+        A = np.pad(A, ((0, nb - n), (0, 0)))
         data = VelRansacData(
             T_last=jnp.asarray(self.last_frame.Twb, jnp.float32),
             v0=jnp.asarray(frame.velocity, jnp.float32),
@@ -371,7 +377,7 @@ class Tracking:
             obs=jnp.asarray(A[:, 5:7], jnp.float32),
             cam=jnp.asarray(A[:, 4], jnp.int32),
             w=jnp.asarray(A[:, 7], jnp.float32),
-            valid=jnp.ones(n, bool),
+            valid=jnp.asarray(np.arange(nb) < n),
             Tbc=jnp.asarray(self.rig.Tbc, jnp.float32),
             K=jnp.asarray(self.rig.K, jnp.float32),
         )
