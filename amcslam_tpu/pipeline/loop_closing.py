@@ -206,16 +206,36 @@ class LoopClosing:
         w1 = np.asarray(ws1)
         w2 = np.asarray(ws2)
         Tcb_all = np.stack([np.linalg.inv(T) for T in self.rig.Tbc])
+        # pow2-bucket the correspondence count: match counts differ on every
+        # candidate pair, and an unbucketed shape compiles a fresh RANSAC
+        # executable per attempt (the accumulated executables exhaust mmap
+        # regions on long runs). Padding rows carry safe geometry (a point
+        # 5 m ahead) and valid=False.
+        nb = 16
+        while nb < n:
+            nb *= 2
+        def _padrows(a, fill_row):
+            fill = np.tile(np.asarray(fill_row, a.dtype), (nb - n, 1) if a.ndim > 1 else (nb - n,))
+            return np.concatenate([a, fill.reshape((nb - n,) + a.shape[1:])]) if nb > n else a
+        Xb1p = _padrows(Xb1, [0.0, 0.0, 5.0])
+        Xb2p = _padrows(Xb2, [0.0, 0.0, 5.0])
+        obs1p = _padrows(obs1, [self.rig.K[0][2], self.rig.K[0][3]])
+        obs2p = _padrows(obs2, [self.rig.K[0][2], self.rig.K[0][3]])
+        cams1p = _padrows(cams1, 0)
+        cams2p = _padrows(cams2, 0)
+        w1p = _padrows(w1, 1.0)
+        w2p = _padrows(w2, 1.0)
+        validp = np.arange(nb) < n
         data = Sim3RansacData(
-            Xb1=jnp.asarray(Xb1, jnp.float64),
-            Xb2=jnp.asarray(Xb2, jnp.float64),
-            obs1=jnp.asarray(obs1, jnp.float64),
-            obs2=jnp.asarray(obs2, jnp.float64),
-            cam1=jnp.asarray(cams1),
-            cam2=jnp.asarray(cams2),
-            max_err1=jnp.asarray(9.21 / w1, jnp.float64),
-            max_err2=jnp.asarray(9.21 / w2, jnp.float64),
-            valid=jnp.ones(n, bool),
+            Xb1=jnp.asarray(Xb1p, jnp.float64),
+            Xb2=jnp.asarray(Xb2p, jnp.float64),
+            obs1=jnp.asarray(obs1p, jnp.float64),
+            obs2=jnp.asarray(obs2p, jnp.float64),
+            cam1=jnp.asarray(cams1p),
+            cam2=jnp.asarray(cams2p),
+            max_err1=jnp.asarray(9.21 / w1p, jnp.float64),
+            max_err2=jnp.asarray(9.21 / w2p, jnp.float64),
+            valid=jnp.asarray(validp),
             K1=jnp.asarray(self.rig.K, jnp.float64),
             K2=jnp.asarray(self.rig.K, jnp.float64),
             Tc1b=jnp.asarray(Tcb_all, jnp.float64),
@@ -232,7 +252,7 @@ class LoopClosing:
         # LoopClosing.cc:581-597): project each side's full point set through
         # the RANSAC Sim3 and admit mutually consistent extra pairs before
         # the final refinement.
-        valid = np.asarray(inl)
+        valid = np.asarray(inl)[:n]
         seen_pairs = {(m1.id, m2.id) for m1, m2 in zip(mps1, mps2)}
         full1 = self._kf_points(kf1)
         full2 = self._kf_points(kf2)
@@ -275,16 +295,27 @@ class LoopClosing:
         # refinement with paired reprojection edges in the observing cameras
         X1c = np.einsum("nij,nj->ni", Tcb_all[cams1, :3, :3], Xb1) + Tcb_all[cams1, :3, 3]
         X2c = np.einsum("nij,nj->ni", Tcb_all[cams2, :3, :3], Xb2) + Tcb_all[cams2, :3, 3]
+        # pow2-bucket the (densified) pair count for the same reason as the
+        # RANSAC data above
+        m = len(X1c)
+        mb = 16
+        while mb < m:
+            mb *= 2
+        def _padp(a, fill_row):
+            if mb == m:
+                return a
+            fill = np.tile(np.asarray(fill_row, a.dtype), (mb - m, 1) if a.ndim > 1 else (mb - m,))
+            return np.concatenate([a, fill.reshape((mb - m,) + a.shape[1:])])
         pair = Sim3PairData(
-            X1=jnp.asarray(X1c, jnp.float64),
-            X2=jnp.asarray(X2c, jnp.float64),
-            obs1=jnp.asarray(obs1, jnp.float64),
-            obs2=jnp.asarray(obs2, jnp.float64),
-            cam1=jnp.asarray(cams1),
-            cam2=jnp.asarray(cams2),
-            w1=jnp.asarray(w1, jnp.float64),
-            w2=jnp.asarray(w2, jnp.float64),
-            valid=jnp.asarray(valid),
+            X1=jnp.asarray(_padp(X1c, [0.0, 0.0, 5.0]), jnp.float64),
+            X2=jnp.asarray(_padp(X2c, [0.0, 0.0, 5.0]), jnp.float64),
+            obs1=jnp.asarray(_padp(obs1, [self.rig.K[0][2], self.rig.K[0][3]]), jnp.float64),
+            obs2=jnp.asarray(_padp(obs2, [self.rig.K[0][2], self.rig.K[0][3]]), jnp.float64),
+            cam1=jnp.asarray(_padp(cams1, 0)),
+            cam2=jnp.asarray(_padp(cams2, 0)),
+            w1=jnp.asarray(_padp(w1, 1.0), jnp.float64),
+            w2=jnp.asarray(_padp(w2, 1.0), jnp.float64),
+            valid=jnp.asarray(np.concatenate([valid, np.zeros(mb - m, bool)])),
             K1=jnp.asarray(self.rig.K, jnp.float64),
             K2=jnp.asarray(self.rig.K, jnp.float64),
             Tc1b=jnp.asarray(Tcb_all, jnp.float64),

@@ -114,9 +114,23 @@ def gt_pose(t: float) -> np.ndarray:
     return T
 
 
-def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False):
+def gt_pose_circle(t: float, period: float = 10.0, radius: float = 1.5):
+    """Closed circular trajectory (tangent heading): revisits its start
+    after `period` seconds, driving the loop-closing path."""
+    a = 2 * np.pi * t / period
+    yaw = a + np.pi / 2
+    c, s = np.cos(yaw), np.sin(yaw)
+    T = np.eye(4)
+    T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    T[:3, 3] = [radius * np.cos(a), radius * np.sin(a), 1.5]
+    return T
+
+
+def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
+        circle=False):
     planes = make_world(seed)
     rig = make_rig()
+    pose_fn = (lambda t: gt_pose_circle(t)) if circle else gt_pose
     extractors = [ORBExtractor(n_features=800) for _ in range(3)] + [
         ORBExtractor(n_features=800)
     ]
@@ -135,10 +149,10 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False):
         cam_times = rig.cam_times(ts)
         t0 = time.time()
         imgs = [
-            render(gt_pose(cam_times[c]) @ rig.Tbc[c], planes)
+            render(pose_fn(cam_times[c]) @ rig.Tbc[c], planes)
             for c in range(3)
         ]
-        img_r = render(gt_pose(ts) @ rig.Tbc[2] @ Tright, planes)
+        img_r = render(pose_fn(ts) @ rig.Tbc[2] @ Tright, planes)
         t_render += time.time() - t0
 
         t0 = time.time()
@@ -152,7 +166,7 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False):
         track_times.append(dt_track)
 
         gt_t.append(ts)
-        gt_T.append(gt_pose(ts))
+        gt_T.append(pose_fn(ts))
 
     slam.shutdown()
     est_t = np.array([t for t, _ in slam.tracker.trajectory])
@@ -162,7 +176,8 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False):
                                  axis=1))
     n_kf = len(slam.atlas.active.keyframes)
     n_mp = len(slam.atlas.active.map_points)
-    print(f"frames={n_frames} dist={dist:.1f}m kf={n_kf} mp={n_mp}")
+    n_loops = getattr(slam.loop_closer, "loops_closed", 0) if slam.loop_closer else 0
+    print(f"frames={n_frames} dist={dist:.1f}m kf={n_kf} mp={n_mp} loops={n_loops}")
     print(f"render  {t_render/n_frames*1e3:7.1f} ms/frame (synthetic world, "
           "not part of the pipeline)")
     print(f"extract {t_extract/n_frames*1e3:7.1f} ms/frame (4 images)")
@@ -186,5 +201,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--plot", default=None)
+    ap.add_argument("--circle", action="store_true",
+                    help="closed circular trajectory (exercises loop closing)")
     args = ap.parse_args()
-    run(n_frames=args.frames, plot=args.plot)
+    run(n_frames=args.frames, plot=args.plot, circle=args.circle)
