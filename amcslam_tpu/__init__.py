@@ -34,11 +34,24 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 import os as _os
 
 if not _os.environ.get("AMCSLAM_NO_COMPILE_CACHE"):
-    _cache = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..",
-                      ".jax_cache"),
-    )
+    _cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if _cache is None:
+        # prefer a repo-local cache only for a writable source checkout
+        # (development); a pip-installed package must not write next to
+        # site-packages — use the per-user cache dir instead
+        _repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        if _os.path.isdir(_os.path.join(_repo, ".git")) and _os.access(
+            _repo, _os.W_OK
+        ):
+            _cache = _os.path.join(_repo, ".jax_cache")
+        else:
+            _cache = _os.path.join(
+                _os.environ.get(
+                    "XDG_CACHE_HOME",
+                    _os.path.join(_os.path.expanduser("~"), ".cache"),
+                ),
+                "amcslam_tpu", "jax",
+            )
     try:
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)

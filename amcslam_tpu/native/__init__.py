@@ -33,14 +33,23 @@ def _build_and_load(name: str = "graph_builder"):
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(here, f"_{name}_{tag}" + suffix)
     if not os.path.exists(out):
+        # compile to a process-private temp name and rename into place:
+        # rename is atomic within a directory, so a concurrent process (e.g.
+        # pytest racing bench) never imports a partially written artifact
         include = sysconfig.get_paths()["include"]
+        tmp = out + f".tmp{os.getpid()}"
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            f"-I{include}", src, "-o", out,
+            f"-I{include}", src, "-o", tmp,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+            os.replace(tmp, out)
         except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             return None
     try:
         spec = importlib.util.spec_from_file_location(f"_{name}", out)

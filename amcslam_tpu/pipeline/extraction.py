@@ -179,9 +179,12 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
     gp_dts = times[gp_pairs[:, 1]] - times[gp_pairs[:, 0]]
     gp_qi_inv = np.stack([rig.qi_inv(dt) for dt in gp_dts]) if len(gp_dts) else np.zeros((0, 12, 12))
 
-    # --- observation edges
+    # --- observation edges (+ aligned erase-target metadata: the reference
+    # erases mono-GP KF obs / GPObs records / stereo-cam obs differently,
+    # Optimizer.cc:1257-1382)
     mg, sg, st = [], [], []
     mg_close, st_close = [], []
+    mg_meta, sg_meta, st_meta = [], [], []
 
     def _depth(k, cam, mp):
         Tcw = np.linalg.inv(k.Twb @ rig.Tbc[cam])
@@ -201,6 +204,7 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
                 ur = k.kp_ur[local] if k.kp_ur is not None else -1.0
                 st.append((s, l, uv[0], uv[1], ur, w, ur >= 0))
                 st_close.append(_depth(k, cam, mp) < CLOSE_DEPTH_TH)
+                st_meta.append((k, mp, gidx))
             else:
                 # async camera: GP edge on the (prev, this) pose pair
                 if k.prev_kf is not None and k.prev_kf.id in kf_slot:
@@ -208,6 +212,7 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
                     t = k.cam_times[cam]
                     mg.append((i, s, l, cam, t, uv[0], uv[1], w))
                     mg_close.append(_depth(k, cam, mp) < CLOSE_DEPTH_TH)
+                    mg_meta.append(("kf", k, cam, mp, gidx))
         # non-keyframe GPObs records attached to this KF's interval
         # (BundleAdjustment/LocalGPBA consume them against (KF, nextKF))
     for mp in lms:
@@ -222,9 +227,11 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
             w = rig.inv_sigma2(obs.octave)
             if obs.cam == rig.n_cams - 1 and obs.ur >= 0:
                 sg.append((i, j, l, obs.time, obs.uv[0], obs.uv[1], obs.ur, w))
+                sg_meta.append(("gp", kf_id, obs, mp))
             else:
                 mg.append((i, j, l, obs.cam, obs.time, obs.uv[0], obs.uv[1], w))
                 mg_close.append(_depth(k, obs.cam, mp) < CLOSE_DEPTH_TH)
+                mg_meta.append(("gp", kf_id, obs, mp))
 
     Em, Eg, Es = _bucket(max(len(mg), 1)), _bucket(max(len(sg), 1)), _bucket(max(len(st), 1))
     Ng = _bucket(max(len(gp_pairs), 1), minimum=4)
@@ -257,8 +264,8 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
         bf=jnp.asarray(rig.bf, dtype),
         K_async=jnp.asarray(rig.K[:Cx], dtype),
         ext_fixed=jnp.ones(Cx, bool),
-        R_prior=jnp.asarray(rig.Tbc[:Cx, :3, :3], dtype),
-        ext_info=jnp.asarray(np.tile(np.eye(3) * 1e6, (Cx, 1, 1)), dtype),
+        R_prior=jnp.asarray(rig.Rbc_ini, dtype),
+        ext_info=jnp.asarray(rig.ext_prior_info, dtype),
         mg_pair=jnp.asarray(_pad(mg_a[:, :2], Em), jnp.int32),
         mg_lm=jnp.asarray(_pad(mg_a[:, 2], Em), jnp.int32),
         mg_cam=jnp.asarray(_pad(mg_a[:, 3], Em), jnp.int32),
@@ -306,6 +313,9 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
         "mg_refs": mg,
         "st_refs": st,
         "sg_refs": sg,
+        "mg_meta": mg_meta,
+        "st_meta": st_meta,
+        "sg_meta": sg_meta,
     }
     return data, state, handles
 

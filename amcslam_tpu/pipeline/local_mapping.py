@@ -57,7 +57,10 @@ class LocalMapping:
         self.recent_points: list[MapPoint] = []
         self.queue: list[KeyFrame] = []
         self._ba = jax.jit(
-            lambda d, s: local_gp_ba(d, s, b_large=False, b_extrinsic=b_extrinsic)
+            lambda d, s: local_gp_ba(
+                d, s, b_large=False, b_extrinsic=b_extrinsic,
+                ext_min_obs=rig.ext_min_obs,
+            )
         )
 
     def insert_keyframe(self, kf: KeyFrame):
@@ -83,6 +86,11 @@ class LocalMapping:
         """LocalMapping::ProcessNewKeyFrame (:225): observation registration
         happens at creation; refresh covisibility and track recent points."""
         kf.update_connections(self.map.map_points)
+        # spanning tree: first connection sets the parent to the strongest
+        # covisible keyframe (KeyFrame::UpdateConnections mbFirstConnection)
+        if kf.parent is None and kf.covisibility and self.map.origin_kf is not kf:
+            best = max(kf.covisibility, key=kf.covisibility.get)
+            kf.parent = self.map.keyframes.get(best)
         for mp_id in kf.matches:
             if mp_id < 0:
                 continue
@@ -115,11 +123,33 @@ class LocalMapping:
     def _camera_Twc(self, kf: KeyFrame, cam: int) -> np.ndarray:
         return camera_Twc(kf, cam, self.rig)
 
+    def _global_arrays(self, kf: KeyFrame):
+        """Concatenate per-camera keypoint data into the global index order
+        (the reference's flat `mvKeysUn`/`mmpKeyToCam` layout)."""
+        C = self.rig.n_cams
+        kp = np.concatenate([np.asarray(kf.keypoints[c]).reshape(-1, 2)
+                             for c in range(C)])
+        desc = np.concatenate([np.asarray(kf.descriptors[c]).reshape(-1, 32)
+                               for c in range(C)]).astype(np.uint8)
+        octv = np.concatenate([np.asarray(kf.kp_octaves[c]).reshape(-1)
+                               for c in range(C)]).astype(int)
+        cams = np.concatenate([np.full(len(kf.keypoints[c]), c, int)
+                               for c in range(C)])
+        ang = (
+            np.concatenate([np.asarray(kf.kp_angles[c]).reshape(-1)
+                            for c in range(C)])
+            if kf.kp_angles is not None else None
+        )
+        return kp, desc, octv, cams, ang
+
     def create_new_map_points(self, kf: KeyFrame, n_neighbors: int = 10):
-        """LocalMapping::CreateNewMapPoints (:311-393): epipolar-gated
-        descriptor matching against covisible + temporal neighbors THROUGH
-        EVERY CAMERA (each at its own GP-interpolated pose), then one
-        batched DLT triangulation over all candidate pairs of all cameras."""
+        """LocalMapping::CreateNewMapPoints (:311-569): descriptor matching
+        across the GLOBAL keypoint sets of both keyframes (cross-camera pairs
+        possible, ORBmatcher::SearchForTriangulation ORBmatcher.cc:947ff) with
+        per-pair epipolar gating, then batched DLT triangulation and the full
+        acceptance gates — parallax, cheirality in both views, reprojection
+        chi2 in both views, octave scale consistency (LocalMapping.cc:434-569).
+        Each camera observes at its own GP-interpolated pose."""
         neighbors = [
             self.map.keyframes[i]
             for i in kf.best_covisible(n_neighbors)
@@ -128,56 +158,77 @@ class LocalMapping:
         if kf.prev_kf is not None and kf.prev_kf not in neighbors:
             neighbors.append(kf.prev_kf)
 
-        tri_r1, tri_r2, tri_T1, tri_T2, tri_meta = [], [], [], [], []
-        for cam in range(self.rig.n_cams):
-            kp1 = kf.keypoints[cam]
-            d1 = kf.descriptors[cam]
-            if len(kp1) == 0:
-                continue
-            K4 = self.rig.K[cam]
+        C = self.rig.n_cams
+        sf = self.rig.scale_factor
+        ratio_factor = 1.5 * sf
+        Kmats, Kinvs = [], []
+        for c in range(C):
+            K4 = self.rig.K[c]
             Km = np.array([[K4[0], 0, K4[2]], [0, K4[1], K4[3]], [0, 0, 1.0]])
-            Kinv = np.linalg.inv(Km)
-            Twc1 = self._camera_Twc(kf, cam)
-            Tcw1 = np.linalg.inv(Twc1)
-            free1 = np.array([
-                kf.matches[kf.global_index(cam, i)] < 0 for i in range(len(kp1))
-            ])
-            for nb in neighbors:
-                kp2 = nb.keypoints[cam]
-                d2 = nb.descriptors[cam]
-                if len(kp2) == 0:
+            Kmats.append(Km)
+            Kinvs.append(np.linalg.inv(Km))
+        Twc1 = [self._camera_Twc(kf, c) for c in range(C)]
+        Tcw1 = [np.linalg.inv(T) for T in Twc1]
+        kp1, d1, oct1, cam1, ang1 = self._global_arrays(kf)
+        if len(kp1) == 0:
+            return 0
+        free1 = kf.matches < 0
+
+        tri_r1, tri_r2, tri_T1, tri_T2, tri_meta = [], [], [], [], []
+        for nb in neighbors:
+            kp2, d2, oct2, cam2, ang2 = self._global_arrays(nb)
+            if len(kp2) == 0:
+                continue
+            Twc2 = [self._camera_Twc(nb, c) for c in range(C)]
+            Tcw2 = [np.linalg.inv(T) for T in Twc2]
+            # per-(c1,c2) fundamental matrices from the relative camera poses
+            F12 = np.zeros((C, C, 3, 3))
+            base_ok = np.zeros((C, C), bool)
+            for a in range(C):
+                for b in range(C):
+                    T12 = Tcw1[a] @ Twc2[b]
+                    t12 = T12[:3, 3]
+                    base_ok[a, b] = np.linalg.norm(t12) >= 0.05
+                    tx = np.array(
+                        [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]],
+                         [-t12[1], t12[0], 0]]
+                    )
+                    F12[a, b] = Kinvs[a].T @ tx @ T12[:3, :3] @ Kinvs[b]
+            if not base_ok.any():
+                continue
+            idx2 = matcher.match_descriptors(
+                d1, d2, max_dist=matcher.TH_LOW, ratio=0.9,
+                ang1=ang1, ang2=ang2,
+            )
+            for g1, g2 in enumerate(idx2):
+                if g2 < 0 or not free1[g1] or nb.matches[g2] >= 0:
                     continue
-                Twc2 = self._camera_Twc(nb, cam)
-                Tcw2 = np.linalg.inv(Twc2)
-                baseline = np.linalg.norm(Twc2[:3, 3] - Twc1[:3, 3])
-                if baseline < 0.05:
+                c1, c2 = int(cam1[g1]), int(cam2[g2])
+                if not base_ok[c1, c2]:
                     continue
-                # fundamental matrix F12 from relative pose (ComputeF12)
-                T12 = Tcw1 @ Twc2
-                R12, t12 = T12[:3, :3], T12[:3, 3]
-                tx = np.array(
-                    [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]],
-                     [-t12[1], t12[0], 0]]
+                # epipolar gate: distance of kp2 from kp1's epipolar line
+                # (CheckDistEpipolarLine, 3.84 * sigma2 of kp2's octave)
+                l2 = F12[c1, c2].T @ np.append(kp1[g1], 1.0)
+                num = l2 @ np.append(kp2[g2], 1.0)
+                den = l2[0] ** 2 + l2[1] ** 2
+                if den < 1e-12 or num * num / den > 3.84 * self.rig.level_sigma2[oct2[g2]]:
+                    continue
+                r1 = Kinvs[c1] @ np.append(kp1[g1], 1.0)
+                r2 = Kinvs[c2] @ np.append(kp2[g2], 1.0)
+                # parallax gate: nearly parallel rays triangulate badly
+                # (cosParallaxRays < 0.9998, LocalMapping.cc:480)
+                ray1 = Twc1[c1][:3, :3] @ r1
+                ray2 = Twc2[c2][:3, :3] @ r2
+                cos_par = ray1 @ ray2 / (
+                    np.linalg.norm(ray1) * np.linalg.norm(ray2)
                 )
-                F12 = Kinv.T @ tx @ R12 @ Kinv
-                idx2 = matcher.search_for_triangulation(
-                    kp1, d1, kp2, d2, F12.T,
-                    ang1=kf.kp_angles[cam] if kf.kp_angles is not None else None,
-                    ang2=nb.kp_angles[cam] if nb.kp_angles is not None else None,
-                )
-                for i1, i2 in enumerate(idx2):
-                    if i2 < 0 or not free1[i1]:
-                        continue
-                    g2 = nb.global_index(cam, int(i2))
-                    if nb.matches[g2] >= 0:
-                        continue
-                    r1 = Kinv @ np.append(kp1[i1], 1.0)
-                    r2 = Kinv @ np.append(kp2[int(i2)], 1.0)
-                    tri_r1.append(r1 / r1[2])
-                    tri_r2.append(r2 / r2[2])
-                    tri_T1.append(Tcw1)
-                    tri_T2.append(Tcw2)
-                    tri_meta.append((cam, i1, nb, int(i2)))
+                if cos_par >= 0.9998:
+                    continue
+                tri_r1.append(r1 / r1[2])
+                tri_r2.append(r2 / r2[2])
+                tri_T1.append(Tcw1[c1])
+                tri_T2.append(Tcw2[c2])
+                tri_meta.append((c1, g1, nb, c2, int(g2)))
 
         if not tri_r1:
             return 0
@@ -188,27 +239,54 @@ class LocalMapping:
         X = np.asarray(X)
         w = np.asarray(w)
         created = 0
-        for n, (cam, i1, nb, i2) in enumerate(tri_meta):
+        for n, (c1, g1, nb, c2, g2) in enumerate(tri_meta):
             if not np.isfinite(X[n]).all():
                 continue
+            Tcw1_, Tcw2_ = tri_T1[n], tri_T2[n]
+            Xc1 = Tcw1_[:3, :3] @ X[n] + Tcw1_[:3, 3]
+            Xc2 = Tcw2_[:3, :3] @ X[n] + Tcw2_[:3, 3]
             # cheirality in both views
-            Tcw1 = tri_T1[n]
-            Tcw2 = tri_T2[n]
-            z1 = (Tcw1[:3, :3] @ X[n] + Tcw1[:3, 3])[2]
-            z2 = (Tcw2[:3, :3] @ X[n] + Tcw2[:3, 3])[2]
-            if z1 <= 0 or z2 <= 0 or abs(w[n]) < 1e-9:
+            if Xc1[2] <= 0 or Xc2[2] <= 0 or abs(w[n]) < 1e-9:
                 continue
-            g1 = kf.global_index(cam, i1)
-            g2 = nb.global_index(cam, i2)
+            # reprojection chi2 in both views (5.991 * sigma2 per octave)
+            o1 = int(kf.kp_octaves[c1][g1 - kf.kp_offsets[c1]])
+            o2 = int(nb.kp_octaves[c2][g2 - nb.kp_offsets[c2]])
+            K1_, K2_ = self.rig.K[c1], self.rig.K[c2]
+            e1 = np.array([
+                K1_[0] * Xc1[0] / Xc1[2] + K1_[2],
+                K1_[1] * Xc1[1] / Xc1[2] + K1_[3],
+            ]) - kp1[g1]
+            e2 = np.array([
+                K2_[0] * Xc2[0] / Xc2[2] + K2_[2],
+                K2_[1] * Xc2[1] / Xc2[2] + K2_[3],
+            ]) - np.asarray(nb.keypoints[c2])[g2 - nb.kp_offsets[c2]]
+            if (e1 @ e1) > 5.991 * self.rig.level_sigma2[o1]:
+                continue
+            if (e2 @ e2) > 5.991 * self.rig.level_sigma2[o2]:
+                continue
+            # octave scale consistency (LocalMapping.cc:552-560)
+            dist1 = np.linalg.norm(X[n] - (-Tcw1_[:3, :3].T @ Tcw1_[:3, 3]))
+            dist2 = np.linalg.norm(X[n] - (-Tcw2_[:3, :3].T @ Tcw2_[:3, 3]))
+            if dist1 <= 0 or dist2 <= 0:
+                continue
+            ratio_dist = dist2 / dist1
+            ratio_oct = sf ** o1 / sf ** o2
+            if (ratio_dist * ratio_factor <= ratio_oct
+                    or ratio_dist >= ratio_oct * ratio_factor):
+                continue
             if kf.matches[g1] >= 0 or nb.matches[g2] >= 0:
                 continue
-            mp = MapPoint(position=X[n], descriptor=kf.descriptors[cam][i1],
+            cam_l1 = g1 - kf.kp_offsets[c1]
+            mp = MapPoint(position=X[n], descriptor=kf.descriptors[c1][cam_l1],
                           first_kf_id=kf.id)
-            mp.add_observation(kf, cam, g1)
-            mp.add_observation(nb, cam, g2)
+            mp.add_observation(kf, c1, g1)
+            mp.add_observation(nb, c2, g2)
             kf.matches[g1] = mp.id
             nb.matches[g2] = mp.id
             self.map.add_map_point(mp)
+            mp.update_normal_and_depth(
+                self.map.keyframes, self.rig.Tbc, sf, self.rig.n_levels
+            )
             self.recent_points.append(mp)
             created += 1
         return created
@@ -257,6 +335,10 @@ class LocalMapping:
                     if other_id < 0:
                         nb.matches[g] = mp.id
                         mp.add_observation(nb, cam, g)
+                        mp.update_normal_and_depth(
+                            self.map.keyframes, self.rig.Tbc,
+                            self.rig.scale_factor, self.rig.n_levels,
+                        )
                     elif other_id != mp.id and int(other_id) in self.map.map_points:
                         other = self.map.map_points[int(other_id)]
                         # keep the better-observed one (ORBmatcher::Fuse)
@@ -270,6 +352,10 @@ class LocalMapping:
                                     okf.matches[gi] = winner.id
                                     winner.add_observation(okf, c, int(gi))
                         self.map.erase_map_point(loser)
+                        winner.update_normal_and_depth(
+                            self.map.keyframes, self.rig.Tbc,
+                            self.rig.scale_factor, self.rig.n_levels,
+                        )
 
     # ------------------------------------------------------------------
     def local_ba(self, kf: KeyFrame):
@@ -280,12 +366,44 @@ class LocalMapping:
         res = self._ba(data, state)
         if bool(res.ok):
             apply_local_ba(res.state, handles, self.map.map_points)
-            # erase outlier observations (EraseGPObservation/EraseObservation)
+            # refined extrinsics write back into the STATIC rig so subsequent
+            # tracking/extraction uses them (Optimizer.cc:1419-1428 mutates
+            # MultiKeyFrame::mTbc / MultiFrame::mTbc)
+            if self.b_extrinsic:
+                Cx = self.rig.n_cams - 1
+                self.rig.Tbc[:Cx] = np.asarray(res.state.Text, np.float64)
+            # erase outlier observations (Optimizer.cc:1257-1382):
+            # stereo-cam KF obs -> EraseMapPointMatch + EraseObservation
             erase_st = np.asarray(res.erase_st)
-            for n, (s, l, *_rest) in enumerate(handles["st_refs"]):
-                if n < len(erase_st) and erase_st[n]:
-                    mp = handles["lms"][int(l)]
-                    kf_i = handles["kfs"][int(s)]
-                    cam = self.rig.n_cams - 1
+            cam_s = self.rig.n_cams - 1
+            for n, (kf_i, mp, g) in enumerate(handles["st_meta"]):
+                if erase_st[n]:
+                    mp.erase_observation(kf_i, cam_s)
+                    kf_i.matches[g] = -1
+            # mono-GP edges: KF async-cam obs erase as above; non-KF GPObs
+            # records scrub via EraseGPObservation
+            erase_m = np.asarray(res.erase_m)
+            for n, meta in enumerate(handles["mg_meta"]):
+                if not erase_m[n]:
+                    continue
+                if meta[0] == "kf":
+                    _, kf_i, cam, mp, g = meta
                     mp.erase_observation(kf_i, cam)
+                    kf_i.matches[g] = -1
+                else:
+                    _, kf_id, obs, mp = meta
+                    mp.erase_gp_observation(kf_id, obs)
+            erase_sg = np.asarray(res.erase_sg)
+            for n, meta in enumerate(handles["sg_meta"]):
+                if erase_sg[n]:
+                    _, kf_id, obs, mp = meta
+                    mp.erase_gp_observation(kf_id, obs)
+            # refresh viewing geometry of moved landmarks
+            # (pMP->UpdateNormalAndDepth after SetWorldPos, Optimizer.cc:1415)
+            for mp in handles["lms"]:
+                if not mp.bad:
+                    mp.update_normal_and_depth(
+                        self.map.keyframes, self.rig.Tbc,
+                        self.rig.scale_factor, self.rig.n_levels,
+                    )
             self.map.increase_change_index()

@@ -38,6 +38,9 @@ def _global_ba_lazy(data, state, num_iterations):
 
 
 _global_ba_jit = jax.jit(_global_ba_lazy, static_argnums=2)
+# def-time jit caches: per-call wrappers would retrace on every closure
+_essential_graph_jit = jax.jit(optimize_essential_graph)
+_optimize_sim3_jit = jax.jit(optimize_sim3, static_argnums=2)
 
 
 class LoopClosing:
@@ -323,7 +326,7 @@ class LoopClosing:
             fix_scale=jnp.asarray(self.fix_scale),
         )
         S0 = Sim3(s=jnp.asarray(s), R=jnp.asarray(R), t=jnp.asarray(t))
-        S12, n_inl, inlier = optimize_sim3(pair, S0, th2=10.0)
+        S12, n_inl, inlier = _optimize_sim3_jit(pair, S0, 10.0)
         return S12, int(n_inl), inlier
 
     # ------------------------------------------------------------------
@@ -499,14 +502,40 @@ class LoopClosing:
                 pairs.append((slot[other_id], slot[k.id]))
                 meas.append(C)
 
-        E = len(pairs)
+        # pow2-bucket BOTH the pose and edge counts: every closure happens at
+        # a new map size, and unbucketed shapes compile a fresh 20-iteration
+        # program per closure (the executable-accumulation/mmap failure mode)
+        E, N_real = len(pairs), N
+
+        def _b(n, lo=16):
+            while lo < n:
+                lo *= 2
+            return lo
+
+        Nb, Eb = _b(N_real), _b(E)
+        s = np.concatenate([s, np.ones(Nb - N_real)])
+        R = np.concatenate([R, np.tile(np.eye(3), (Nb - N_real, 1, 1))])
+        t = np.concatenate([t, np.zeros((Nb - N_real, 3))])
+        fixed = np.array([k.id == loop_kf.id for k in kfs])
+        fixed = np.concatenate([fixed, np.ones(Nb - N_real, bool)])
+        pairs_a = np.concatenate(
+            [np.array(pairs, np.int64).reshape(-1, 2),
+             np.zeros((Eb - E, 2), np.int64)]
+        )
+        meas_R = np.concatenate(
+            [np.stack([m[:3, :3] for m in meas]),
+             np.tile(np.eye(3), (Eb - E, 1, 1))]
+        )
+        meas_t = np.concatenate(
+            [np.stack([m[:3, 3] for m in meas]), np.zeros((Eb - E, 3))]
+        )
         data = EssentialGraphData(
-            pairs=jnp.asarray(np.array(pairs), jnp.int32),
-            meas_s=jnp.ones(E, jnp.float64),
-            meas_R=jnp.asarray(np.stack([m[:3, :3] for m in meas]), jnp.float64),
-            meas_t=jnp.asarray(np.stack([m[:3, 3] for m in meas]), jnp.float64),
-            valid=jnp.ones(E, bool),
-            fixed=jnp.asarray(np.array([k.id == loop_kf.id for k in kfs])),
+            pairs=jnp.asarray(pairs_a, jnp.int32),
+            meas_s=jnp.ones(Eb, jnp.float64),
+            meas_R=jnp.asarray(meas_R, jnp.float64),
+            meas_t=jnp.asarray(meas_t, jnp.float64),
+            valid=jnp.asarray(np.arange(Eb) < E),
+            fixed=jnp.asarray(fixed),
             fix_scale=jnp.asarray(self.fix_scale),
         )
         state = Sim3Field(
@@ -514,7 +543,7 @@ class LoopClosing:
             R=jnp.asarray(R, jnp.float64),
             t=jnp.asarray(t, jnp.float64),
         )
-        out, stats = optimize_essential_graph(data, state)
+        out, stats = _essential_graph_jit(data, state)
         # recover SE3: T_wb = inv(S_cw) with translation /s (Optimizer.cc:1669-1683)
         s_o = np.asarray(out.s)
         R_o = np.asarray(out.R)

@@ -88,6 +88,56 @@ class MapPoint:
     def found_ratio(self) -> float:
         return self.n_found / max(self.n_visible, 1)
 
+    def update_normal_and_depth(self, kf_table: dict, Tbc: np.ndarray,
+                                scale_factor: float = 1.2, n_levels: int = 8):
+        """MapPoint::UpdateNormalAndDepth (MapPoint.cc:611-702): mean viewing
+        direction over all (KF, camera) observations + scale-invariance
+        distance range from the reference (first) keyframe's octaves.
+        Camera centers use the KF body pose (the cm-level GP-interpolation
+        offset is irrelevant for these gates)."""
+        if not self.observations:
+            return
+        normal = np.zeros(3)
+        n = 0
+        for kf_id, slots in self.observations.items():
+            kf = kf_table.get(kf_id)
+            if kf is None:
+                continue
+            for c, gi in enumerate(slots):
+                if gi < 0:
+                    continue
+                Ow = (kf.Twb @ Tbc[c])[:3, 3]
+                d = self.position - Ow
+                nd = np.linalg.norm(d)
+                if nd > 1e-9:
+                    normal += d / nd
+                    n += 1
+        if n == 0:
+            return
+        self.normal = normal / n
+        ref = kf_table.get(self.first_kf_id)
+        if ref is None or ref.id not in self.observations:
+            # fall back to any observing keyframe as reference
+            ref = next(
+                (kf_table[k] for k in self.observations if k in kf_table), None
+            )
+        if ref is None:
+            return
+        max_d, min_d = 0.0, np.inf
+        for c, gi in enumerate(self.observations[ref.id]):
+            if gi < 0:
+                continue
+            dist = np.linalg.norm(self.position - (ref.Twb @ Tbc[c])[:3, 3])
+            cam_, local = ref.cam_of_global(int(gi))
+            lvl = int(ref.kp_octaves[cam_][local])
+            max_d = max(max_d, dist * scale_factor ** lvl)
+            min_d = min(
+                min_d, dist * scale_factor ** lvl / scale_factor ** (n_levels - 1)
+            )
+        if np.isfinite(min_d):
+            self.max_dist = max_d
+            self.min_dist = min_d
+
     def compute_distinctive_descriptor(self, descriptors: list[np.ndarray]):
         """Median-Hamming-distance descriptor selection (MapPoint.cc:498)."""
         if not descriptors:

@@ -183,6 +183,115 @@ def search_by_projection(
     return np.where(bestd <= max_dist, best, -1).astype(np.int64)
 
 
+def search_by_projection_frustum(
+    mp_positions: np.ndarray,     # (M,3) world
+    mp_descriptors: np.ndarray,   # (M,32)
+    mp_normals: np.ndarray,       # (M,3) mean viewing directions (0 = none)
+    mp_min_dist: np.ndarray,      # (M,) scale-invariance range
+    mp_max_dist: np.ndarray,      # (M,)
+    kp: np.ndarray,               # (N,2) frame keypoints (one camera)
+    kp_desc: np.ndarray,          # (N,32)
+    kp_octave: np.ndarray,        # (N,)
+    Tcw: np.ndarray,              # (4,4) world-to-camera at this camera's time
+    K: np.ndarray,                # (4,)
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    th: float = 1.0,
+    view_cos_limit: float = 0.5,
+    max_dist: int = TH_HIGH,
+    ratio: float = 0.8,
+    kp_ur: np.ndarray | None = None,  # (N,) stereo right-u (<0 = mono)
+    bf: float = 0.0,
+):
+    """Frustum-gated local-map projection search: the vectorized form of
+    MultiFrame::isInFrustum (Frame.cc:463-530) + ORBmatcher::SearchByProjection
+    (ORBmatcher.cc:43-147):
+
+      * positive depth + scale-invariance distance range [minDist, maxDist]
+      * viewing-cone check  cos(angle(P-Ow, normal)) >= 0.5
+      * predicted octave from dist (MapPoint::PredictScale) -> the search
+        window is r(viewCos) * scaleFactor^level px with r = 2.5 if
+        viewCos > 0.998 else 4.0, and only keypoints in octave
+        [level-1, level] are admissible
+      * stereo right-u gate when the candidate keypoint has a disparity
+      * Lowe ratio applied only when best/second share the octave
+
+    Returns (match kp index per map point (-1 none), in_frustum mask (M,))."""
+    M = len(mp_positions)
+    if M == 0:
+        return -np.ones(0, np.int64), np.zeros(0, bool)
+    Xc = mp_positions @ Tcw[:3, :3].T + Tcw[:3, 3]
+    z = Xc[:, 2]
+    u = K[0] * Xc[:, 0] / np.maximum(z, 1e-9) + K[2]
+    v = K[1] * Xc[:, 1] / np.maximum(z, 1e-9) + K[3]
+
+    # camera center and viewing geometry (world frame)
+    Ow = -Tcw[:3, :3].T @ Tcw[:3, 3]
+    PO = mp_positions - Ow
+    dist = np.linalg.norm(PO, axis=1)
+    have_range = mp_max_dist > 0
+    dist_ok = np.where(
+        have_range,
+        (dist >= 0.8 * mp_min_dist) & (dist <= 1.2 * mp_max_dist),
+        True,
+    )
+    have_normal = np.linalg.norm(mp_normals, axis=1) > 1e-6
+    view_cos = np.where(
+        have_normal,
+        np.einsum("md,md->m", PO, mp_normals)
+        / np.maximum(dist * np.linalg.norm(mp_normals, axis=1), 1e-9),
+        1.0,
+    )
+    in_frustum = (z > 0.1) & dist_ok & (view_cos >= view_cos_limit)
+
+    # predicted scale level (MapPoint::PredictScale, MapPoint.cc:722-737)
+    ratio_d = np.where(
+        have_range & (dist > 1e-9), mp_max_dist / np.maximum(dist, 1e-9), 1.0
+    )
+    level = np.ceil(np.log(np.maximum(ratio_d, 1e-9)) / np.log(scale_factor))
+    level = np.clip(level, 0, n_levels - 1).astype(int)
+
+    if len(kp) == 0:
+        return -np.ones(M, np.int64), in_frustum
+
+    # radius by viewing direction (ORBmatcher::RadiusByViewingCos)
+    r = np.where(view_cos > 0.998, 2.5, 4.0) * th
+    r = r * scale_factor ** level  # (M,)
+
+    du = np.abs(u[:, None] - kp[None, :, 0])
+    dv = np.abs(v[:, None] - kp[None, :, 1])
+    # points without distance-range info (max_dist unset) cannot predict a
+    # scale level — skip their octave gate rather than forcing level 0
+    oct_ok = (kp_octave[None, :] >= (level[:, None] - 1)) & (
+        kp_octave[None, :] <= level[:, None]
+    ) | ~have_range[:, None]
+    admissible = (
+        (du <= r[:, None]) & (dv <= r[:, None]) & oct_ok & in_frustum[:, None]
+    )
+    if kp_ur is not None and bf > 0:
+        ur_pred = u - bf / np.maximum(z, 1e-9)
+        has_ur = kp_ur[None, :] > 0
+        ur_ok = ~has_ur | (
+            np.abs(ur_pred[:, None] - kp_ur[None, :]) <= r[:, None]
+        )
+        admissible &= ur_ok
+
+    D = hamming(mp_descriptors, kp_desc)
+    D = np.where(admissible, D, 1 << 30)
+    order = np.argsort(D, axis=1)
+    best = order[:, 0]
+    bestd = D[np.arange(M), best]
+    if D.shape[1] > 1:
+        second = order[:, 1]
+        secondd = D[np.arange(M), second]
+        same_level = kp_octave[best] == kp_octave[second]
+        ratio_ok = ~same_level | (bestd <= ratio * secondd)
+    else:
+        ratio_ok = np.ones(M, bool)
+    ok = (bestd <= max_dist) & ratio_ok
+    return np.where(ok, best, -1).astype(np.int64), in_frustum
+
+
 def search_by_sim3(
     Xb1: np.ndarray, cams1: np.ndarray, uvs1: np.ndarray, d1: np.ndarray,
     Xb2: np.ndarray, cams2: np.ndarray, uvs2: np.ndarray, d2: np.ndarray,

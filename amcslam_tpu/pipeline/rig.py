@@ -27,9 +27,22 @@ class Rig:
     n_levels: int = 8
     cam_time_offsets: np.ndarray | None = None  # (C,) per-camera offset vs stereo
     dist: np.ndarray | None = None  # (C,5) radial-tangential k1 k2 p1 p2 k3
+    # online extrinsic refinement (LocalGPBA phase 2): rotation-prior
+    # information (reference: mRbc_ini_cov = 0.2*I, Frame.cc:182) and the
+    # per-camera observation count needed to unfix an extrinsic
+    # (extrin_thresh = 50, Optimizer.cc:1227)
+    ext_prior_info: np.ndarray | None = None  # (Cx,3,3)
+    ext_min_obs: int = 50
 
     def __post_init__(self):
         self.qc_inv_diag = 1.0 / self.qc_diag
+        # extrinsic rotation priors anchor at the CALIBRATED rotations
+        # (mRbc_ini, Frame.cc:164-182): capture before refinement mutates Tbc
+        self.Rbc_ini = np.array(self.Tbc[: len(self.K) - 1, :3, :3], copy=True)
+        if self.ext_prior_info is None:
+            self.ext_prior_info = np.tile(
+                np.eye(3) * 0.2, (max(len(self.K) - 1, 1), 1, 1)
+            )
         factors = self.scale_factor ** np.arange(self.n_levels)
         self.level_sigma2 = factors**2
         self.inv_level_sigma2 = 1.0 / self.level_sigma2

@@ -93,11 +93,13 @@ class System:
 
     # ------------------------------------------------------------------
     def save_trajectory_tum(self, path: str):
-        """SaveTrajectoryTUM (System.cc:393): `t x y z qx qy qz qw` per frame."""
+        """SaveTrajectoryTUM (System.cc:393-460): recompose each frame's
+        RELATIVE pose against its reference keyframe's current (loop-/GBA-
+        corrected) pose; frames flagged lost are skipped (System.cc:400)."""
         from scipy.spatial.transform import Rotation
 
         with open(path, "w") as f:
-            for t, Twb in self.tracker.trajectory:
+            for t, Twb in self.tracker.trajectory_poses():
                 q = Rotation.from_matrix(Twb[:3, :3]).as_quat()  # x y z w
                 p = Twb[:3, 3]
                 f.write(

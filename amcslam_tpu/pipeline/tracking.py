@@ -47,6 +47,24 @@ class TrackState(Enum):
     LOST = 4
 
 
+@dataclass
+class TrajectoryEntry:
+    """Relative-frame-pose trajectory record (Tracking.cc:1408-1427):
+    each frame stores its pose RELATIVE to its reference keyframe, so loop
+    closures / GBA that move keyframes retroactively correct the whole frame
+    trajectory when SaveTrajectoryTUM recomposes (System.cc:393-460)."""
+
+    timestamp: float
+    ref_kf: "KeyFrame"
+    Trb: np.ndarray   # ref-KF-body -> frame-body at track time
+    lost: bool
+
+    @property
+    def Twb(self) -> np.ndarray:
+        """Recompose against the ref KF's CURRENT (possibly corrected) pose."""
+        return self.ref_kf.Twb @ self.Trb
+
+
 # Host glue runs single 4x4 ops hundreds of times per frame; the pure-NumPy
 # closed forms in ops/host_geom avoid a device dispatch per op (~5 ms each
 # through a remote-TPU tunnel). Parity with the jitted kernels is asserted
@@ -101,7 +119,7 @@ class Tracking:
         self.frames_since_reloc = 10**9
         self.n_inliers = 0
         self.local_mapper = local_mapper
-        self.trajectory: list[tuple[float, np.ndarray]] = []
+        self.trajectory: list[TrajectoryEntry] = []
         self._rng = np.random.RandomState(0)
 
     # ------------------------------------------------------------------
@@ -188,7 +206,29 @@ class Tracking:
 
     # ------------------------------------------------------------------
     def _record(self, frame: Frame):
-        self.trajectory.append((frame.timestamp, frame.Twb.copy()))
+        """Trajectory bookkeeping (Tracking.cc:1408-1427): store the pose
+        relative to the reference keyframe; on tracking failure duplicate
+        the previous record with the lost flag (System.cc:400 skips them)."""
+        ref = frame.ref_kf if frame.ref_kf is not None else self.last_kf
+        lost = self.state in (TrackState.RECENTLY_LOST, TrackState.LOST)
+        if ref is None or (lost and not np.isfinite(frame.Twb).all()):
+            if self.trajectory:
+                prev = self.trajectory[-1]
+                self.trajectory.append(
+                    TrajectoryEntry(frame.timestamp, prev.ref_kf, prev.Trb, True)
+                )
+            return
+        Trb = np.linalg.inv(ref.Twb) @ frame.Twb
+        self.trajectory.append(TrajectoryEntry(frame.timestamp, ref, Trb, lost))
+
+    def trajectory_poses(self, include_lost: bool = False):
+        """Recomposed (timestamp, Twb) pairs against the corrected keyframe
+        poses — the SaveTrajectoryTUM composition (System.cc:393-460)."""
+        return [
+            (e.timestamp, e.Twb)
+            for e in self.trajectory
+            if include_lost or not e.lost
+        ]
 
     def _predict(self, frame: Frame):
         """Constant-twist prediction (Tracking.cc:1833-1837)."""
@@ -240,7 +280,6 @@ class Tracking:
                 g = frame.global_index(cam, int(ki))
                 if frame.matches[g] < 0:
                     frame.matches[g] = mps[mi].id
-                    mps[mi].n_visible += 1
                     n_matched += 1
         return n_matched
 
@@ -305,25 +344,118 @@ class Tracking:
                 g = frame.global_index(cam, int(ki))
                 if frame.matches[g] < 0:
                     frame.matches[g] = mps[mi].id
-                    mps[mi].n_visible += 1
                     n += 1
         if n < 15:
             return 0
         return self._pose_solve(frame)
 
-    def _track_local_map(self, frame: Frame) -> int:
+    def _update_local_keyframes(self, frame: Frame) -> list[int]:
+        """Tracking::UpdateLocalKeyFrames (Tracking.cc:2395-2553): K1 = every
+        keyframe observing a current match; expand with 10-best covisible
+        neighbors + spanning-tree parents (capped at 80 KFs) and the last 20
+        temporal keyframes; the max-vote KF becomes the reference keyframe."""
         m = self.atlas.active
-        # local map: points of covisible keyframes of the current matches
         kf_votes: dict[int, int] = {}
         for mp_id in frame.matches:
             if mp_id < 0:
                 continue
             mp = m.map_points.get(int(mp_id))
-            if mp is None:
+            if mp is None or mp.bad:
                 continue
             for kf_id in mp.observations:
                 kf_votes[kf_id] = kf_votes.get(kf_id, 0) + 1
-        local_kfs = sorted(kf_votes, key=kf_votes.get, reverse=True)[:20]
+        local: list[int] = []
+        seen: set[int] = set()
+        kf_max, vote_max = None, 0
+        for kf_id, votes in kf_votes.items():
+            kf = m.keyframes.get(kf_id)
+            if kf is None or kf.bad:
+                continue
+            local.append(kf_id)
+            seen.add(kf_id)
+            if votes > vote_max:
+                vote_max, kf_max = votes, kf
+        # K2 expansion: covisible neighbors + parent of each K1 keyframe
+        # (first unseen one each, as the reference's `break`s do)
+        for kf_id in list(local):
+            if len(local) > 80:
+                break
+            kf = m.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            for nb_id in kf.best_covisible(10):
+                if nb_id not in seen and nb_id in m.keyframes:
+                    local.append(nb_id)
+                    seen.add(nb_id)
+                    break
+            if kf.parent is not None and kf.parent.id not in seen:
+                local.append(kf.parent.id)
+                seen.add(kf.parent.id)
+        # last 20 temporal keyframes (Tracking.cc:2532-2547)
+        tkf = self.last_kf
+        for _ in range(20):
+            if tkf is None or len(local) >= 80:
+                break
+            if tkf.id not in seen:
+                local.append(tkf.id)
+                seen.add(tkf.id)
+            tkf = tkf.prev_kf
+        if kf_max is not None:
+            frame.ref_kf = kf_max  # mpReferenceKF = pKFmax
+        return local
+
+    def _search_local_points(self, frame: Frame, local_points: set[int]) -> int:
+        """Tracking::SearchLocalPoints (Tracking.cc:2294-2352): project every
+        local map point into every camera with the full frustum gates
+        (viewing cone, distance range, predicted octave) and match with the
+        viewing-angle-dependent radius (th=1)."""
+        m = self.atlas.active
+        mps = [
+            m.map_points[i]
+            for i in local_points
+            if i in m.map_points and not m.map_points[i].bad
+        ]
+        if not mps:
+            return 0
+        pos = np.stack([mp.position for mp in mps])
+        desc = np.stack([
+            mp.descriptor if mp.descriptor is not None else np.zeros(32, np.uint8)
+            for mp in mps
+        ])
+        normals = np.stack([mp.normal for mp in mps])
+        min_d = np.array([mp.min_dist for mp in mps])
+        max_d = np.array([mp.max_dist for mp in mps])
+        n_matched = 0
+        stereo_cam = self.rig.n_cams - 1
+        for cam in range(self.rig.n_cams):
+            if len(frame.keypoints[cam]) == 0:
+                continue
+            Tcw = self._camera_Tcw(frame, cam)
+            idx, in_frustum = matcher.search_by_projection_frustum(
+                pos, desc, normals, min_d, max_d,
+                frame.keypoints[cam], frame.descriptors[cam],
+                frame.kp_octaves[cam], Tcw, self.rig.K[cam],
+                scale_factor=self.rig.scale_factor,
+                n_levels=self.rig.n_levels,
+                kp_ur=frame.kp_ur if cam == stereo_cam else None,
+                bf=self.rig.bf if cam == stereo_cam else 0.0,
+            )
+            for mi, vis in enumerate(in_frustum):
+                if vis:
+                    mps[mi].n_visible += 1  # IncreaseVisible
+            for mi, ki in enumerate(idx):
+                if ki < 0:
+                    continue
+                g = frame.global_index(cam, int(ki))
+                if frame.matches[g] < 0:
+                    frame.matches[g] = mps[mi].id
+                    n_matched += 1
+        return n_matched
+
+    def _track_local_map(self, frame: Frame) -> int:
+        """Tracking::TrackLocalMap (Tracking.cc:2004-2082)."""
+        m = self.atlas.active
+        local_kfs = self._update_local_keyframes(frame)
         local_points: set[int] = set()
         for kf_id in local_kfs:
             kf = m.keyframes.get(kf_id)
@@ -331,12 +463,12 @@ class Tracking:
                 continue
             local_points.update(int(i) for i in kf.matches if i >= 0)
         already = set(int(i) for i in frame.matches if i >= 0)
-        self._match_map_points(frame, local_points - already, self.cfg.search_radius * 2)
+        self._search_local_points(frame, local_points - already)
 
         # MC-RANSAC over async-camera matches (Tracking.cc:2029, 1939-2002)
         self._mc_ransac(frame)
         n = self._pose_solve(frame)
-        # bookkeeping: found counters
+        # bookkeeping: found counters (IncreaseFound, Tracking.cc:2047-2066)
         for g, mp_id in enumerate(frame.matches):
             if mp_id >= 0 and not frame.outlier[g]:
                 mp = m.map_points.get(int(mp_id))
@@ -368,7 +500,20 @@ class Tracking:
         nb = 16
         while nb < n:
             nb *= 2
-        A = np.pad(A, ((0, nb - n), (0, 0)))
+        if nb > n:
+            # pad with safe geometry (point 5 m ahead of the body, observed
+            # at the stereo principal point, dt=0) so padded residuals stay
+            # finite before the valid mask — a zero row would put the point
+            # at camera z<=0 and produce inf/NaN (same convention as
+            # loop_closing._solve_sim3)
+            cam_s = self.rig.n_cams - 1
+            Ks = self.rig.K[cam_s]
+            Twc = self.last_frame.Twb @ self.rig.Tbc[cam_s]
+            ahead = Twc[:3, :3] @ np.array([0.0, 0.0, 5.0]) + Twc[:3, 3]
+            pad_row = np.array(
+                [*ahead, 0.0, cam_s, Ks[2], Ks[3], 1.0]
+            )
+            A = np.concatenate([A, np.tile(pad_row, (nb - n, 1))])
         data = VelRansacData(
             T_last=jnp.asarray(self.last_frame.Twb, jnp.float32),
             v0=jnp.asarray(frame.velocity, jnp.float32),
@@ -547,6 +692,10 @@ class Tracking:
             mp.add_observation(kf, cam, g)
             kf.matches[g] = mp.id
             m.add_map_point(mp)
+            mp.update_normal_and_depth(
+                m.keyframes, self.rig.Tbc, self.rig.scale_factor,
+                self.rig.n_levels,
+            )
             created += 1
             if created >= max_seed:
                 break

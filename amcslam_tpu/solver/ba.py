@@ -639,6 +639,418 @@ def make_ba_problem(
     return LMProblem(chi2, linearize, max_abs_diag, solve, retract)
 
 
+def make_ba_problem_pcg(
+    data: LocalBAData,
+    lvl_m,
+    lvl_sg,
+    lvl_st,
+    huber_on: bool = True,
+    ext_active=None,
+    pcg_iters: int = 200,
+    pcg_tol: float = 1e-10,
+) -> LMProblem:
+    """Matrix-free Schur-complement BA for at-scale keyframe counts (the
+    rebuild of LinearSolverEigen's sparse Cholesky used by the reference's
+    GLOBAL BA, Optimizer.cc:70): neither the PxP reduced pose system nor the
+    (L,3,P) landmark-coupling tensor is ever materialized. The Schur product
+
+        S x = Hpp x - W Hll^-1 W^T x
+
+    evaluates edge-wise: Hpp x as J_e^T w_e (J_e x[cols_e]) with
+    segment-sums, W^T x by reducing Jl_e^T w_e (J_e x[cols_e]) per landmark,
+    and the back-map W z by gathering z at each edge's landmark.
+    Preconditioner: inverted per-vertex 12x12 (pose) / 6x6 (extrinsic)
+    diagonal blocks of Hpp (block-Jacobi). Memory is O(E + L + K) — a
+    5000-KF global BA fits where the dense path would need a 60k x 60k
+    matrix."""
+    dtype = data.mg_obs.dtype
+    K = data.n_poses
+    Cx = data.n_ext
+
+    pose_act = (~data.pose_fixed).astype(dtype)
+    if ext_active is None:
+        ext_act = (~data.ext_fixed).astype(dtype)
+    else:
+        ext_act = ext_active.astype(dtype)
+
+    act_m = data.mg_valid & lvl_m
+    act_sg = data.sg_valid & lvl_sg
+    act_st = data.st_valid & lvl_st
+    delta_st = jnp.where(
+        data.st_is_stereo,
+        jnp.asarray(TH_HUBER_STEREO, dtype),
+        jnp.asarray(TH_HUBER_MONO, dtype),
+    )
+
+    # chi2 is identical to the dense path's
+    _dense = make_ba_problem(data, lvl_m, lvl_sg, lvl_st, huber_on=huber_on,
+                             ext_active=ext_active)
+    chi2 = _dense.chi2
+
+    def linearize(state: BAState):
+        L = state.X.shape[0]
+        Hll = jnp.zeros((L, 3, 3), dtype)
+        bl = jnp.zeros((L, 3), dtype)
+        bp12 = jnp.zeros((K, 12), dtype)
+        bext = jnp.zeros((Cx, 6), dtype) if Cx else jnp.zeros((0, 6), dtype)
+        D12 = jnp.zeros((K, 12, 12), dtype)
+        Dext = jnp.zeros((Cx, 6, 6), dtype) if Cx else jnp.zeros((0, 6, 6), dtype)
+
+        # ===== async-camera GP mono edges =====
+        r_m, J1m, J2m, Jlm, Jem, _ = _mono_gp_eval(data, state)
+        m3 = act_m[:, None]
+        r_m = jnp.where(m3, r_m, 0.0)
+        J1m = jnp.where(m3[..., None], J1m, 0.0)
+        J2m = jnp.where(m3[..., None], J2m, 0.0)
+        Jlm = jnp.where(m3[..., None], Jlm, 0.0)
+        Jem = jnp.where(m3[..., None], Jem, 0.0)
+        s = jnp.sum(r_m * r_m, -1) * data.mg_w
+        _, rho1 = robust.huber_rho01(s, jnp.asarray(TH_HUBER_MONO, dtype), huber_on)
+        w_m = jnp.where(act_m, data.mg_w * rho1, 0.0)
+        im, jm, cm = data.mg_pair[:, 0], data.mg_pair[:, 1], data.mg_cam
+        J1m = J1m * pose_act[im][:, None, None]
+        J2m = J2m * pose_act[jm][:, None, None]
+        Jem = Jem * ext_act[cm][:, None, None]
+        wr = w_m[:, None] * r_m
+        bp12 = bp12 - jax.ops.segment_sum(
+            jnp.einsum("erc,er->ec", J1m, wr), im, K
+        ) - jax.ops.segment_sum(jnp.einsum("erc,er->ec", J2m, wr), jm, K)
+        if Cx:
+            bext = bext - jax.ops.segment_sum(
+                jnp.einsum("erc,er->ec", Jem, wr), cm, Cx
+            )
+        D12 = D12 + jax.ops.segment_sum(
+            jnp.einsum("eri,e,erj->eij", J1m, w_m, J1m), im, K
+        ) + jax.ops.segment_sum(
+            jnp.einsum("eri,e,erj->eij", J2m, w_m, J2m), jm, K
+        )
+        if Cx:
+            Dext = Dext + jax.ops.segment_sum(
+                jnp.einsum("eri,e,erj->eij", Jem, w_m, Jem), cm, Cx
+            )
+        JlWm = Jlm * w_m[:, None, None]
+        Hll = Hll + jax.ops.segment_sum(
+            jnp.einsum("eri,erj->eij", JlWm, Jlm), data.mg_lm, L
+        )
+        bl = bl - jax.ops.segment_sum(
+            jnp.einsum("eri,er->ei", JlWm, r_m), data.mg_lm, L
+        )
+
+        # ===== GP stereo edges =====
+        r_g, J1g, J2g, Jlg, _ = _stereo_gp_eval(data, state)
+        m3 = act_sg[:, None]
+        r_g = jnp.where(m3, r_g, 0.0)
+        J1g = jnp.where(m3[..., None], J1g, 0.0)
+        J2g = jnp.where(m3[..., None], J2g, 0.0)
+        Jlg = jnp.where(m3[..., None], Jlg, 0.0)
+        s = jnp.sum(r_g * r_g, -1) * data.sg_w
+        _, rho1 = robust.huber_rho01(s, jnp.asarray(TH_HUBER_STEREO, dtype), huber_on)
+        w_g = jnp.where(act_sg, data.sg_w * rho1, 0.0)
+        ig, jg = data.sg_pair[:, 0], data.sg_pair[:, 1]
+        J1g = J1g * pose_act[ig][:, None, None]
+        J2g = J2g * pose_act[jg][:, None, None]
+        wr = w_g[:, None] * r_g
+        bp12 = bp12 - jax.ops.segment_sum(
+            jnp.einsum("erc,er->ec", J1g, wr), ig, K
+        ) - jax.ops.segment_sum(jnp.einsum("erc,er->ec", J2g, wr), jg, K)
+        D12 = D12 + jax.ops.segment_sum(
+            jnp.einsum("eri,e,erj->eij", J1g, w_g, J1g), ig, K
+        ) + jax.ops.segment_sum(
+            jnp.einsum("eri,e,erj->eij", J2g, w_g, J2g), jg, K
+        )
+        JlWg = Jlg * w_g[:, None, None]
+        Hll = Hll + jax.ops.segment_sum(
+            jnp.einsum("eri,erj->eij", JlWg, Jlg), data.sg_lm, L
+        )
+        bl = bl - jax.ops.segment_sum(
+            jnp.einsum("eri,er->ei", JlWg, r_g), data.sg_lm, L
+        )
+
+        # ===== stereo-camera KF edges =====
+        r_s, J3, Jls, _ = _stereo_eval(data, state)
+        m3 = act_st[:, None]
+        r_s = jnp.where(m3, r_s, 0.0)
+        J3 = jnp.where(m3[..., None], J3, 0.0)
+        Jls = jnp.where(m3[..., None], Jls, 0.0)
+        s = jnp.sum(r_s * r_s, -1) * data.st_w
+        _, rho1 = robust.huber_rho01(s, delta_st, huber_on)
+        w_s = jnp.where(act_st, data.st_w * rho1, 0.0)
+        p_ = data.st_pose
+        J3 = J3 * pose_act[p_][:, None, None]
+        wr = w_s[:, None] * r_s
+        bp12 = bp12 - jax.ops.segment_sum(jnp.einsum("erc,er->ec", J3, wr), p_, K)
+        D12 = D12 + jax.ops.segment_sum(
+            jnp.einsum("eri,e,erj->eij", J3, w_s, J3), p_, K
+        )
+        JlWs = Jls * w_s[:, None, None]
+        Hll = Hll + jax.ops.segment_sum(
+            jnp.einsum("eri,erj->eij", JlWs, Jls), data.st_lm, L
+        )
+        bl = bl - jax.ops.segment_sum(
+            jnp.einsum("eri,er->ei", JlWs, r_s), data.st_lm, L
+        )
+
+        # ===== GP prior chain =====
+        r_p, J1p, J2p = _gp_chain_eval(data, state)
+        mg3 = data.gp_valid[:, None]
+        r_p = jnp.where(mg3, r_p, 0.0)
+        J1p = jnp.where(mg3[..., None], J1p, 0.0)
+        J2p = jnp.where(mg3[..., None], J2p, 0.0)
+        s = jnp.einsum("ei,eij,ej->e", r_p, data.gp_qi_inv, r_p)
+        _, rho1 = robust.huber_rho01(s, jnp.asarray(TH_HUBER_GP, dtype), data.gp_huber)
+        wg = jnp.where(data.gp_valid, rho1, 0.0)
+        ip, jp = data.gp_pairs[:, 0], data.gp_pairs[:, 1]
+        J1p = J1p * pose_act[ip][:, None, None]
+        J2p = J2p * pose_act[jp][:, None, None]
+        Om = data.gp_qi_inv * wg[:, None, None]  # (Ng,12,12)
+        OJ1 = jnp.einsum("eab,ebc->eac", Om, J1p)
+        OJ2 = jnp.einsum("eab,ebc->eac", Om, J2p)
+        bp12 = bp12 - jax.ops.segment_sum(
+            jnp.einsum("eab,ea->eb", OJ1, r_p), ip, K
+        ) - jax.ops.segment_sum(jnp.einsum("eab,ea->eb", OJ2, r_p), jp, K)
+        D12 = D12 + jax.ops.segment_sum(
+            jnp.einsum("eab,eac->ebc", OJ1, J1p), ip, K
+        ) + jax.ops.segment_sum(jnp.einsum("eab,eac->ebc", OJ2, J2p), jp, K)
+
+        # ===== velocity edges (diagonal) =====
+        wv = jnp.where(data.vel_valid, data.qcinv22, 0.0) * pose_act
+        u8 = (jnp.arange(12) == 8).astype(dtype)
+        D12 = D12 + jnp.eye(12, dtype=dtype)[None] * (wv[:, None] * u8[None, :])[:, None, :]
+        bp12 = bp12 - (wv * state.v[:, 2])[:, None] * u8[None, :]
+
+        # ===== extrinsic priors =====
+        if Cx:
+            r_e = jax.vmap(priors.extrinsic_prior_residual)(state.Text, data.R_prior)
+            J_e = jax.vmap(priors.extrinsic_prior_jac)(state.Text, data.R_prior)
+            J_e = J_e * ext_act[:, None, None]
+            JW_e = jnp.einsum("cij,cjk->cik", data.ext_info, J_e)
+            Dext = Dext + jnp.einsum("cri,crj->cij", JW_e, J_e)
+            bext = bext - jnp.einsum("cri,cr->ci", JW_e, r_e)
+
+        edges = (
+            (J1m, J2m, Jem, Jlm, w_m, im, jm, cm, data.mg_lm),
+            (J1g, J2g, Jlg, w_g, ig, jg, data.sg_lm),
+            (J3, Jls, w_s, p_, data.st_lm),
+            (J1p, J2p, Om, ip, jp),
+        )
+        return edges, Hll, bl, bp12, bext, D12, Dext, wv
+
+    def max_abs_diag(lin):
+        edges, Hll, bl, bp12, bext, D12, Dext, wv = lin
+        m1 = jnp.max(
+            jnp.abs(jnp.vectorize(jnp.diagonal, signature="(a,a)->(a)")(D12))
+            * pose_act[:, None]
+        )
+        m2 = jnp.max(jnp.abs(jnp.vectorize(jnp.diagonal, signature="(a,a)->(a)")(Hll)))
+        if Cx:
+            m3 = jnp.max(
+                jnp.abs(jnp.vectorize(jnp.diagonal, signature="(a,a)->(a)")(Dext))
+                * ext_act[:, None]
+            )
+            m1 = jnp.maximum(m1, m3)
+        return jnp.maximum(m1, m2)
+
+    def solve(lin, lam):
+        edges, Hll, bl, bp12, bext, D12, Dext, wv = lin
+        (J1m, J2m, Jem, Jlm, w_m, im, jm, cm, lm_m) = edges[0]
+        (J1g, J2g, Jlg, w_g, ig, jg, lm_g) = edges[1]
+        (J3, Jls, w_s, p_, lm_s) = edges[2]
+        (J1p, J2p, Om, ip, jp) = edges[3]
+        L = Hll.shape[0]
+        eye3 = jnp.eye(3, dtype=dtype)
+        Hll_inv = _inv3x3(Hll + lam * eye3[None])
+
+        damp12 = (lam * pose_act + (1.0 - pose_act))  # (K,)
+        dampe = (lam * ext_act + (1.0 - ext_act)) if Cx else jnp.zeros(0, dtype)
+
+        def edge_u(xp, xe):
+            """Per-edge Jp x products for the three landmark families."""
+            u_m = (
+                jnp.einsum("erc,ec->er", J1m, xp[im])
+                + jnp.einsum("erc,ec->er", J2m, xp[jm])
+            )
+            if Cx:
+                u_m = u_m + jnp.einsum("erc,ec->er", Jem, xe[cm])
+            u_g = jnp.einsum("erc,ec->er", J1g, xp[ig]) + jnp.einsum(
+                "erc,ec->er", J2g, xp[jg]
+            )
+            u_s = jnp.einsum("erc,ec->er", J3, xp[p_])
+            return u_m, u_g, u_s
+
+        def scatter_back(v_m, v_g, v_s, K_, Cx_):
+            """J^T v accumulation back onto vertices (v already weighted)."""
+            g12 = (
+                jax.ops.segment_sum(jnp.einsum("erc,er->ec", J1m, v_m), im, K_)
+                + jax.ops.segment_sum(jnp.einsum("erc,er->ec", J2m, v_m), jm, K_)
+                + jax.ops.segment_sum(jnp.einsum("erc,er->ec", J1g, v_g), ig, K_)
+                + jax.ops.segment_sum(jnp.einsum("erc,er->ec", J2g, v_g), jg, K_)
+                + jax.ops.segment_sum(jnp.einsum("erc,er->ec", J3, v_s), p_, K_)
+            )
+            ge = (
+                jax.ops.segment_sum(jnp.einsum("erc,er->ec", Jem, v_m), cm, Cx_)
+                if Cx_
+                else jnp.zeros((0, 6), dtype)
+            )
+            return g12, ge
+
+        def Wt_x(xp, xe):
+            """W^T x: per-landmark 3-vector."""
+            u_m, u_g, u_s = edge_u(xp, xe)
+            y = (
+                jax.ops.segment_sum(
+                    jnp.einsum("eri,er->ei", Jlm, w_m[:, None] * u_m), lm_m, L
+                )
+                + jax.ops.segment_sum(
+                    jnp.einsum("eri,er->ei", Jlg, w_g[:, None] * u_g), lm_g, L
+                )
+                + jax.ops.segment_sum(
+                    jnp.einsum("eri,er->ei", Jls, w_s[:, None] * u_s), lm_s, L
+                )
+            )
+            return y
+
+        def W_z(z):
+            """W z: per-vertex accumulation of Jp^T w Jl z[lm]."""
+            v_m = w_m[:, None] * jnp.einsum("eri,ei->er", Jlm, z[lm_m])
+            v_g = w_g[:, None] * jnp.einsum("eri,ei->er", Jlg, z[lm_g])
+            v_s = w_s[:, None] * jnp.einsum("eri,ei->er", Jls, z[lm_s])
+            return scatter_back(v_m, v_g, v_s, K, Cx)
+
+        def Sx(xp, xe):
+            """Schur-complement product S x (pose+extrinsic blocks)."""
+            u_m, u_g, u_s = edge_u(xp, xe)
+            g12, ge = scatter_back(
+                w_m[:, None] * u_m, w_g[:, None] * u_g, w_s[:, None] * u_s, K, Cx
+            )
+            # GP chain (no landmark part, full 12x12 information)
+            t = jnp.einsum("eab,eb->ea", J1p, xp[ip]) + jnp.einsum(
+                "eab,eb->ea", J2p, xp[jp]
+            )
+            Ot = jnp.einsum("eab,eb->ea", Om, t)
+            g12 = g12 + jax.ops.segment_sum(
+                jnp.einsum("eab,ea->eb", J1p, Ot), ip, K
+            ) + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", J2p, Ot), jp, K)
+            # velocity diagonal
+            g12 = g12 + (wv * xp[:, 8])[:, None] * (jnp.arange(12) == 8).astype(dtype)[None, :]
+            # extrinsic prior lives in Dext already only for precond; its
+            # Hessian contribution must be part of Sx too
+            if Cx:
+                ge = ge + jnp.einsum("cij,cj->ci", _ext_prior_H, xe)
+            # Schur correction
+            y = Wt_x(xp, xe)
+            z = jnp.einsum("lab,lb->la", Hll_inv, y)
+            c12, ce = W_z(z)
+            g12 = g12 - c12 + damp12[:, None] * xp
+            if Cx:
+                ge = ge - ce + dampe[:, None] * xe
+            return g12, ge
+
+        # extrinsic-prior Hessian (JW_e^T J_e) is needed inside Sx; recompute
+        # from Dext minus the reprojection part is not separable, so carry it:
+        if Cx:
+            # Dext = sum(Jem^T w Jem) + ext_prior_H; reconstruct prior part
+            ext_reproj = jax.ops.segment_sum(
+                jnp.einsum("eri,e,erj->eij", Jem, w_m, Jem), cm, Cx
+            )
+            _ext_prior_H = Dext - ext_reproj
+        else:
+            _ext_prior_H = jnp.zeros((0, 6, 6), dtype)
+
+        # right-hand side: bs = bp - W Hll^-1 bl
+        z_b = jnp.einsum("lab,lb->la", Hll_inv, bl)
+        c12, ce = W_z(z_b)
+        bs12 = bp12 - c12
+        bse = bext - ce if Cx else bext
+
+        # block-Jacobi preconditioner (damped)
+        P12 = jnp.linalg.inv(
+            D12 + jnp.eye(12, dtype=dtype)[None] * damp12[:, None, None]
+        )
+        Pe = (
+            jnp.linalg.inv(Dext + jnp.eye(6, dtype=dtype)[None] * dampe[:, None, None])
+            if Cx
+            else jnp.zeros((0, 6, 6), dtype)
+        )
+
+        def precond(r12, re):
+            return (
+                jnp.einsum("kab,kb->ka", P12, r12),
+                jnp.einsum("cab,cb->ca", Pe, re) if Cx else re,
+            )
+
+        def dot(a12, ae, b12, be):
+            d = jnp.sum(a12 * b12)
+            if Cx:
+                d = d + jnp.sum(ae * be)
+            return d
+
+        x12 = jnp.zeros((K, 12), dtype)
+        xe = jnp.zeros((Cx, 6), dtype)
+        r12, re = bs12, bse
+        z12, ze = precond(r12, re)
+        p12, pe = z12, ze
+        rz = dot(r12, re, z12, ze)
+        bnorm = jnp.maximum(dot(bs12, bse, bs12, bse), jnp.asarray(1e-30, dtype))
+
+        def body(c):
+            x12, xe, r12, re, p12, pe, rz, it = c
+            Hp12, Hpe = Sx(p12, pe)
+            alpha = rz / jnp.maximum(
+                dot(p12, pe, Hp12, Hpe), jnp.asarray(1e-30, dtype)
+            )
+            x12n = x12 + alpha * p12
+            xen = xe + alpha * pe
+            r12n = r12 - alpha * Hp12
+            ren = re - alpha * Hpe
+            z12n, zen = precond(r12n, ren)
+            rz_new = dot(r12n, ren, z12n, zen)
+            beta = rz_new / jnp.maximum(rz, jnp.asarray(1e-30, dtype))
+            return (
+                x12n, xen, r12n, ren, z12n + beta * p12, zen + beta * pe,
+                rz_new, it + 1,
+            )
+
+        def cond(c):
+            x12, xe, r12, re, *_, it = c
+            return (it < pcg_iters) & (dot(r12, re, r12, re) > pcg_tol * bnorm)
+
+        x12, xe, *_ = jax.lax.while_loop(
+            cond, body, (x12, xe, r12, re, p12, pe, rz, 0)
+        )
+
+        # landmark back-substitution
+        y = Wt_x(x12, xe)
+        dxl = jnp.einsum("lab,lb->la", Hll_inv, bl - y)
+        dot_xx = jnp.sum(x12 * x12) + jnp.sum(dxl * dxl)
+        dot_xb = jnp.sum(x12 * bp12) + jnp.sum(dxl * bl)
+        if Cx:
+            dot_xx = dot_xx + jnp.sum(xe * xe)
+            dot_xb = dot_xb + jnp.sum(xe * bext)
+        return (x12, xe, dxl), dot_xx, dot_xb
+
+    def retract(state: BAState, dx):
+        dxp, dxe, dxl = dx
+        T = jax.vmap(lambda Ti, di: Ti @ lie.exp_se3(di))(state.T, dxp[:, :6])
+        Text = (
+            jax.vmap(lambda Ti, di: Ti @ lie.exp_se3(di))(state.Text, dxe)
+            if Cx
+            else state.Text
+        )
+        return BAState(T=T, v=state.v + dxp[:, 6:], Text=Text, X=state.X + dxl)
+
+    return LMProblem(chi2, linearize, max_abs_diag, solve, retract)
+
+
+def global_ba_pcg(data: LocalBAData, state: BAState, num_iterations: int = 10):
+    """global_ba with the matrix-free PCG backend — same semantics, O(E)
+    memory, for keyframe counts where the dense reduced system is out of
+    reach (VERDICT r2 item 5 / Optimizer.cc:70 LinearSolverEigen)."""
+    problem = make_ba_problem_pcg(
+        data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True
+    )
+    return lm_optimize(problem, state, num_iterations, lambda_init=1e-5)
+
+
 class LocalBAResult(NamedTuple):
     state: BAState
     ok: jax.Array            # divergence guard passed

@@ -291,7 +291,118 @@ def make_essential_graph_problem(data: EssentialGraphData) -> LMProblem:
     return LMProblem(chi2, linearize, max_abs_diag, solve, retract)
 
 
-def optimize_essential_graph(data: EssentialGraphData, state: Sim3Field):
-    """20 LM iterations, lambda_0 = 1e-16 (Optimizer.cc:1442-1447, 1665)."""
-    problem = make_essential_graph_problem(data)
+def make_essential_graph_problem_pcg(
+    data: EssentialGraphData, pcg_iters: int = 250, pcg_tol: float = 1e-10
+) -> LMProblem:
+    """Matrix-free essential graph for at-scale pose graphs (the rebuild of
+    LinearSolverEigen's sparse Cholesky, Optimizer.cc:1442-1444, as a
+    TPU-native iterative solver): the 7Nx7N normal matrix is never formed —
+    H.x products evaluate edge-wise as J_e^T (J_e x[cols_e]) with two
+    segment-sums, preconditioned by the inverted per-vertex 7x7 block
+    diagonal (block-Jacobi). Memory is O(E) instead of O(N^2); a 5k-KF graph
+    fits where the dense Cholesky would need a 35k x 35k matrix."""
+
+    def chi2(state: Sim3Field):
+        r = _eg_residuals(state, data)
+        r = jnp.where(data.valid[:, None], r, 0.0)
+        return jnp.sum(r * r)
+
+    def linearize(state: Sim3Field):
+        dtype = state.t.dtype
+        r, J = _eg_residual_jacs(state, data)
+        i_, j_ = data.pairs[:, 0], data.pairs[:, 1]
+        act = (~data.fixed).astype(dtype)
+        m = data.valid[:, None]
+        r = jnp.where(m, r, 0.0)
+        J = jnp.where(m[..., None], J, 0.0)
+        Ji = J[:, :, :7] * act[i_][:, None, None]
+        Jj = J[:, :, 7:] * act[j_][:, None, None]
+        N = state.s.shape[0]
+        # block-Jacobi preconditioner blocks + gradient
+        Di = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", Ji, Ji), i_, N)
+        Dj = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", Jj, Jj), j_, N)
+        D = Di + Dj
+        bi = jax.ops.segment_sum(-jnp.einsum("eri,er->ei", Ji, r), i_, N)
+        bj = jax.ops.segment_sum(-jnp.einsum("eri,er->ei", Jj, r), j_, N)
+        b = bi + bj
+        return Ji, Jj, i_, j_, D, b, act
+
+    def max_abs_diag(lin):
+        *_, D, b, act = lin
+        diag = jnp.vectorize(jnp.diagonal, signature="(a,a)->(a)")(D)
+        return jnp.max(jnp.abs(diag) * act[:, None])
+
+    def solve(lin, lam):
+        Ji, Jj, i_, j_, D, b, act = lin
+        dtype = b.dtype
+        N = b.shape[0]
+        eye7 = jnp.eye(7, dtype=dtype)
+        # damped preconditioner; fixed vertices get identity (their b is 0)
+        Dd = D + (lam * act + (1.0 - act))[:, None, None] * eye7[None]
+        Minv = jnp.linalg.inv(Dd)
+
+        def Hx(x):  # x: (N,7)
+            u = jnp.einsum("erc,ec->er", Ji, x[i_]) + jnp.einsum(
+                "erc,ec->er", Jj, x[j_]
+            )
+            out = jax.ops.segment_sum(
+                jnp.einsum("erc,er->ec", Ji, u), i_, N
+            ) + jax.ops.segment_sum(jnp.einsum("erc,er->ec", Jj, u), j_, N)
+            return out + (lam * act + (1.0 - act))[:, None] * x
+
+        def dot(a, c):
+            return jnp.sum(a * c)
+
+        x0 = jnp.zeros_like(b)
+        r0 = b  # b - H @ 0
+        z0 = jnp.einsum("nij,nj->ni", Minv, r0)
+        p0 = z0
+        rz0 = dot(r0, z0)
+        bnorm = jnp.maximum(dot(b, b), jnp.asarray(1e-30, dtype))
+
+        def body(c):
+            x, rr, z, p, rz, it = c
+            Hp = Hx(p)
+            alpha = rz / jnp.maximum(dot(p, Hp), jnp.asarray(1e-30, dtype))
+            x = x + alpha * p
+            rr = rr - alpha * Hp
+            z = jnp.einsum("nij,nj->ni", Minv, rr)
+            rz_new = dot(rr, z)
+            beta = rz_new / jnp.maximum(rz, jnp.asarray(1e-30, dtype))
+            p = z + beta * p
+            return x, rr, z, p, rz_new, it + 1
+
+        def cond(c):
+            x, rr, _, _, _, it = c
+            return (it < pcg_iters) & (dot(rr, rr) > pcg_tol * bnorm)
+
+        x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+        dx = x.reshape(-1)
+        return dx, dx @ dx, dx @ b.reshape(-1)
+
+    def retract(state: Sim3Field, dx):
+        N = state.s.shape[0]
+        d = dx.reshape(N, 7)
+
+        def one(s, R, t, di):
+            S = sim3.retract_left(Sim3(s, R, t), di, data.fix_scale)
+            return S.s, S.R, S.t
+
+        s, R, t = jax.vmap(one)(state.s, state.R, state.t, d)
+        return Sim3Field(s=s, R=R, t=t)
+
+    return LMProblem(chi2, linearize, max_abs_diag, solve, retract)
+
+
+def optimize_essential_graph(
+    data: EssentialGraphData, state: Sim3Field, use_pcg: bool = False
+):
+    """20 LM iterations, lambda_0 = 1e-16 (Optimizer.cc:1442-1447, 1665).
+    `use_pcg` switches to the matrix-free block-Jacobi PCG backend for
+    at-scale graphs (the reference's sparse-Cholesky capability)."""
+    problem = (
+        make_essential_graph_problem_pcg(data)
+        if use_pcg
+        else make_essential_graph_problem(data)
+    )
     return lm_optimize(problem, state, 20, lambda_init=1e-16)

@@ -197,6 +197,10 @@ def make_vi_ba_problem(data: VIBAData) -> LMProblem:
         i_, j_ = data.imu_pairs[:, 0], data.imu_pairs[:, 1]
         Ji = Ji * pose_act[i_][:, None, None]
         Jj = Jj * pose_act[j_][:, None, None]
+        # bias columns belong to keyframe i: fixed keyframes must keep their
+        # bg/ba untouched too (the dense path zeroed the full 15-dof block)
+        Jbg = Jbg * pose_act[i_][:, None, None]
+        Jba = Jba * pose_act[i_][:, None, None]
         Jfull = jnp.concatenate([Ji, Jbg, Jba, Jj], axis=2)  # (Ki,9,24)
         colsi = jnp.concatenate(
             [
@@ -223,6 +227,12 @@ def make_vi_ba_problem(data: VIBAData) -> LMProblem:
             (Ki_, 1, 1),
         )
         Jw = jnp.where(mi[..., None], Jw, 0.0)
+        # mask each 6-column half by its keyframe's activity so fixed
+        # keyframes' biases see no random-walk pull either
+        act_w = jnp.concatenate(
+            [jnp.tile(pose_act[i_][:, None], (1, 6)),
+             jnp.tile(pose_act[j_][:, None], (1, 6))], axis=1)
+        Jw = Jw * act_w[:, None, :]
         colsw = jnp.concatenate(
             [
                 15 * i_[:, None] + 9 + jnp.arange(6)[None, :],

@@ -40,9 +40,12 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from amcslam_tpu.solver.ba import make_ba_problem  # noqa: E402
+from amcslam_tpu.solver.ba import make_ba_problem, make_ba_problem_pcg  # noqa: E402
 from amcslam_tpu.solver.pose_solver import pose_gp_optimize  # noqa: E402
-from amcslam_tpu.solver.sim3_opt import make_essential_graph_problem  # noqa: E402
+from amcslam_tpu.solver.sim3_opt import (  # noqa: E402
+    make_essential_graph_problem,
+    make_essential_graph_problem_pcg,
+)
 from amcslam_tpu.solver.vi_ba import make_vi_ba_problem  # noqa: E402
 from amcslam_tpu.utils.synthetic import (  # noqa: E402
     make_essential_graph,
@@ -144,6 +147,38 @@ def bench_essential_graph():
     return ms
 
 
+def bench_essential_graph_5k():
+    """Config 5c: at-scale Sim3 pose graph (matrix-free block-Jacobi PCG —
+    the LinearSolverEigen sparse-Cholesky capability, Optimizer.cc:1442)."""
+    kf, nl = (64, 3) if SMOKE else (5000, 40)
+    data, state0, _ = make_essential_graph(n_kf=kf, n_loop=nl, seed=0, dtype=DTYPE)
+    _log(f"sim3_graph_5k: N={kf} E={data.pairs.shape[0]} (PCG)")
+    problem = make_essential_graph_problem_pcg(data, pcg_iters=100, pcg_tol=1e-6)
+    ms, _ = time_lm_iteration(problem, state0, lam=1e-8, n_iter=5)
+    return ms
+
+
+def bench_global_ba_pcg():
+    """Config 5d: at-scale global BA (2000 KF / 10k pts) with the matrix-free
+    Schur PCG backend — the dense reduced system would be 24k x 24k."""
+    kf, lm = (8, 64) if SMOKE else (2000, 10000)
+    data, state0, _ = make_local_ba_problem(
+        n_kf=kf, n_fixed=1, n_lm=lm, n_cams=6, obs_per_lm=4,
+        gpobs_per_lm=0, noise_px=0.5, seed=0, dtype=DTYPE,
+    )
+    data = data._replace(gp_huber=jnp.asarray(True))
+    _log(
+        f"global_ba_pcg: K={data.n_poses} L={state0.X.shape[0]} "
+        f"stereo={data.st_obs.shape[0]} (PCG)"
+    )
+    problem = make_ba_problem_pcg(
+        data, data.mg_valid, data.sg_valid, data.st_valid,
+        pcg_iters=100, pcg_tol=1e-6,
+    )
+    ms, _ = time_lm_iteration(problem, state0, lam=1e-3, n_iter=5)
+    return ms
+
+
 def parity_f64(state_f32):
     """Re-evaluate the optimized f32 state's chi2 in f64 on CPU (subprocess
     with x64 + cpu platform; same seed regenerates bit-identical f64 data)."""
@@ -215,6 +250,14 @@ def main():
     _log("config 5a: Sim3 essential graph, 500 KF")
     results["sim3_graph_ms_per_iter"] = round(bench_essential_graph(), 4)
     _log(f"  {results['sim3_graph_ms_per_iter']:.3f} ms/iter")
+
+    _log("config 5c: Sim3 essential graph at 5000 KF (PCG)")
+    results["sim3_graph_5k_ms_per_iter"] = round(bench_essential_graph_5k(), 4)
+    _log(f"  {results['sim3_graph_5k_ms_per_iter']:.3f} ms/iter")
+
+    _log("config 5d: global BA at 2000 KF / 10k pts (Schur PCG)")
+    results["global_ba_pcg_2k_ms_per_iter"] = round(bench_global_ba_pcg(), 4)
+    _log(f"  {results['global_ba_pcg_2k_ms_per_iter']:.3f} ms/iter")
 
     _log("config 5b: global BA (Huber GP chain) per iter")
     data_g = data3._replace(gp_huber=jnp.asarray(True))

@@ -169,8 +169,9 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         gt_T.append(pose_fn(ts))
 
     slam.shutdown()
-    est_t = np.array([t for t, _ in slam.tracker.trajectory])
-    est_T = np.stack([T for _, T in slam.tracker.trajectory])
+    traj = slam.tracker.trajectory_poses()
+    est_t = np.array([t for t, _ in traj])
+    est_T = np.stack([T for _, T in traj])
     ate, _ = ate_rmse(est_t, est_T, np.array(gt_t), np.stack(gt_T))
     dist = np.sum(np.linalg.norm(np.diff(np.stack(gt_T)[:, :3, 3], axis=0),
                                  axis=1))
@@ -191,7 +192,7 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
     if plot:
         from amcslam_tpu.pipeline.viewer import draw_map
 
-        draw_map(slam.atlas.active, trajectory=slam.tracker.trajectory,
+        draw_map(slam.atlas.active, trajectory=traj,
                  path=plot)
         print(f"map render -> {plot}")
     return ate, dist

@@ -138,3 +138,47 @@ def test_ba_f32_stability():
     state, stats = lm_optimize(problem, state0, 10, lambda_init=1.0)
     chi1 = float(stats.chi2)
     assert np.isfinite(chi1) and chi1 < 0.1 * chi0, (chi0, chi1)
+
+
+def test_pcg_backend_matches_dense_schur():
+    """The matrix-free PCG BA backend (make_ba_problem_pcg) must converge to
+    the same optimum as the dense Schur path on the same problem — the
+    at-scale replacement for LinearSolverEigen (Optimizer.cc:70)."""
+    from amcslam_tpu.solver.ba import make_ba_problem_pcg
+
+    data, state0, gt = small_problem(noise_px=0.4, seed=5)
+    lvl = (data.mg_valid, data.sg_valid, data.st_valid)
+    dense = make_ba_problem(data, *lvl, huber_on=True)
+    pcg = make_ba_problem_pcg(data, *lvl, huber_on=True)
+
+    s_d, st_d = jax.jit(lambda s: lm_optimize(dense, s, 10, lambda_init=1e-5))(state0)
+    s_p, st_p = jax.jit(lambda s: lm_optimize(pcg, s, 10, lambda_init=1e-5))(state0)
+    c_d, c_p = float(st_d.chi2), float(st_p.chi2)
+    assert abs(c_p - c_d) <= 1e-6 * max(c_d, 1.0), (c_d, c_p)
+    np.testing.assert_allclose(np.asarray(s_p.T), np.asarray(s_d.T), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_p.X), np.asarray(s_d.X), atol=1e-4)
+
+
+def test_pcg_single_solve_matches_dense_solve():
+    """One damped solve: PCG dx vs dense Schur dx on identical
+    linearizations (direct linear-algebra agreement, not just same optimum)."""
+    from amcslam_tpu.solver.ba import make_ba_problem_pcg
+
+    data, state0, gt = small_problem(noise_px=0.3, seed=7)
+    lvl = (data.mg_valid, data.sg_valid, data.st_valid)
+    dense = make_ba_problem(data, *lvl, huber_on=True)
+    pcg = make_ba_problem_pcg(data, *lvl, huber_on=True, pcg_iters=400,
+                              pcg_tol=1e-16)
+    lam = jnp.asarray(1e-3, F64)
+    dx_d, xx_d, xb_d = dense.solve(dense.linearize(state0), lam)
+    dx_p, xx_p, xb_p = pcg.solve(pcg.linearize(state0), lam)
+    dxp_d, dxl_d = dx_d
+    x12_p, xe_p, dxl_p = dx_p
+    K = data.n_poses
+    np.testing.assert_allclose(
+        np.asarray(dxp_d[: 12 * K]).reshape(K, 12), np.asarray(x12_p),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(np.asarray(dxl_d), np.asarray(dxl_p), atol=1e-8)
+    np.testing.assert_allclose(float(xx_p), float(xx_d), rtol=1e-6)
+    np.testing.assert_allclose(float(xb_p), float(xb_d), rtol=1e-6)

@@ -192,3 +192,11 @@ def test_vi_ba_converges():
     p_err0 = np.abs(np.asarray(state0.p) - np.asarray(gt.p)).max()
     p_err1 = np.abs(np.asarray(state.p) - np.asarray(gt.p)).max()
     assert p_err1 < 0.3 * p_err0, (p_err0, p_err1)
+    # the fixed keyframe's FULL 15-dof state must be untouched — including
+    # the bias components (regression: the Schur rewrite once left bg/ba of
+    # fixed keyframes live through unmasked Jbg/Jba/Jw columns)
+    np.testing.assert_allclose(np.asarray(state.R[0]), np.asarray(state0.R[0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(state.p[0]), np.asarray(state0.p[0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(state.v[0]), np.asarray(state0.v[0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(state.bg[0]), np.asarray(state0.bg[0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(state.ba[0]), np.asarray(state0.ba[0]), atol=1e-12)

@@ -319,6 +319,42 @@ def test_two_sequential_loops_stay_consistent():
     assert err13 < 0.5, err13
 
 
+def test_saved_trajectory_corrected_by_loop_closure():
+    """Relative-frame-pose bookkeeping (Tracking.cc:1408-1427 +
+    System.cc:393-460): frames stored as Trb against their reference
+    keyframe must be retroactively corrected when loop closure moves the
+    keyframes — the recomposed full-frame ATE improves after the closure."""
+    from amcslam_tpu.pipeline.tracking import TrajectoryEntry
+
+    m, rig, kfs, gt = build_loop_map()
+    # per-frame records as Tracking produces them: pose relative to the
+    # reference KF, captured at (drifted) track time
+    entries = [
+        TrajectoryEntry(k.timestamp, kfs[i - 1],
+                        np.linalg.inv(kfs[i - 1].Twb) @ k.Twb, False)
+        for i, k in enumerate(kfs) if i > 0
+    ]
+
+    def traj_ate(es):
+        return float(np.mean([
+            np.linalg.norm(e.Twb[:3, 3] - g[:3, 3])
+            for e, g in zip(es, gt[1:])
+        ]))
+
+    ate_before = traj_ate(entries)
+    db = KeyFrameDatabase()
+    lc = LoopClosing(rig, m, db, fix_scale=True, min_matches=15,
+                     consistency_needed=1)
+    for k in kfs[:-1]:
+        db.add(k)
+    hit = lc.detect_common_regions(kfs[-1])
+    assert hit is not None
+    lc.correct_loop(kfs[-1], hit[0], hit[1])
+    # the SAME records, recomposed lazily against the corrected KF poses
+    ate_after = traj_ate(entries)
+    assert ate_after < 0.6 * ate_before, (ate_before, ate_after)
+
+
 def test_search_by_sim3_densification():
     """ORBmatcher::SearchBySim3 analogue: under the true Sim3 between two
     keyframes' body frames, point pairs that reproject onto each other's

@@ -34,7 +34,7 @@ def test_tracking_end_to_end():
     assert all(s == TrackState.OK for s in states[1:]), states
 
     # ATE: per-frame translation error vs ground truth
-    est = np.stack([T for _, T in tracker.trajectory])
+    est = np.stack([T for _, T in tracker.trajectory_poses()])
     ate = np.linalg.norm(est[:, :3, 3] - Ts_gt[: len(est), :3, 3], axis=1)
     traj_len = np.sum(
         np.linalg.norm(np.diff(Ts_gt[:, :3, 3], axis=0), axis=1)

@@ -171,6 +171,78 @@ def test_essential_graph_distributes_loop_error():
     assert np.isfinite(np.asarray(state_out.t)).all()
 
 
+def _make_pose_graph(N, seed=5, drift_t=0.03, drift_r=0.01, n_loops=1):
+    """Drifted circular chain + n_loops true-relative loop edges; returns
+    (state, data) in the EssentialGraphData layout."""
+    rng = np.random.RandomState(seed)
+    gt = [np.eye(4)]
+    step = np.array([1.0, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / N])
+    for k in range(1, N):
+        gt.append(gt[-1] @ _np_exp_se3(step))
+    est = [np.eye(4)]
+    for k in range(1, N):
+        noise = np.concatenate([rng.randn(3) * drift_t, rng.randn(3) * drift_r])
+        est.append(est[-1] @ _np_exp_se3(step + noise))
+    s = np.ones(N)
+    R = np.stack([np.linalg.inv(e)[:3, :3] for e in est])
+    t = np.stack([np.linalg.inv(e)[:3, 3] for e in est])
+    state = Sim3Field(s=jnp.asarray(s, F64), R=jnp.asarray(R, F64),
+                      t=jnp.asarray(t, F64))
+    pairs, meas = [], []
+    for k in range(N - 1):
+        pairs.append((k, k + 1))
+        meas.append(np.linalg.inv(est[k + 1]) @ est[k])
+    for l in range(n_loops):
+        a = (l * N // max(n_loops, 1)) % N
+        b = (a + N // 2) % N
+        if a == b:
+            continue
+        pairs.append((b, a))
+        meas.append(np.linalg.inv(gt[a]) @ gt[b])
+    E = len(pairs)
+    data = EssentialGraphData(
+        pairs=jnp.asarray(np.array(pairs), jnp.int32),
+        meas_s=jnp.ones(E, F64),
+        meas_R=jnp.asarray(np.stack([M[:3, :3] for M in meas]), F64),
+        meas_t=jnp.asarray(np.stack([M[:3, 3] for M in meas]), F64),
+        valid=jnp.ones(E, bool),
+        fixed=jnp.asarray(np.arange(N) == 0),
+        fix_scale=jnp.asarray(True),
+    )
+    return state, data
+
+
+def test_essential_graph_pcg_matches_dense():
+    """The matrix-free block-Jacobi PCG backend must agree with the dense
+    Cholesky path (the at-scale replacement for LinearSolverEigen's sparse
+    factorization, Optimizer.cc:1442-1444)."""
+    state, data = _make_pose_graph(24, seed=11)
+    out_d, st_d = jax.jit(
+        lambda s_: optimize_essential_graph(data, s_, use_pcg=False)
+    )(state)
+    out_p, st_p = jax.jit(
+        lambda s_: optimize_essential_graph(data, s_, use_pcg=True)
+    )(state)
+    # both reach the same optimum (chi2 agreement well under the parity bar)
+    c_d, c_p = float(st_d.chi2), float(st_p.chi2)
+    assert abs(c_p - c_d) <= 1e-6 * max(c_d, 1.0), (c_d, c_p)
+    np.testing.assert_allclose(
+        np.asarray(out_p.t), np.asarray(out_d.t), atol=1e-4
+    )
+
+
+def test_essential_graph_pcg_at_scale():
+    """A 2000-vertex pose graph (out of reach for the 7Nx7N dense path's
+    memory on bigger N) converges with the PCG backend."""
+    state, data = _make_pose_graph(2000, seed=3, n_loops=4)
+    out, stats = jax.jit(
+        lambda s_: optimize_essential_graph(data, s_, use_pcg=True)
+    )(state)
+    assert np.isfinite(np.asarray(out.t)).all()
+    assert float(stats.chi2) < 0.3 * float(stats.initial_chi2), (
+        float(stats.initial_chi2), float(stats.chi2))
+
+
 def test_horn_sim3_and_ransac():
     rng = np.random.RandomState(7)
     # exact similarity recovery from 3 points
