@@ -1,0 +1,305 @@
+"""On-device (TPU) ORB extraction — the accelerator path of the front-end.
+
+The host machine driving a TPU is often a single core (this box: nproc=1),
+so the reference's OpenMP fan-out (Frame.cc:213) has no host parallelism to
+exploit; the TPU is the only real compute. This module runs the WHOLE
+extraction pipeline of frontend/orb.py as one jitted XLA program over a
+batch of images: pyramid resize, FAST-9/16 via the same 65536-entry
+circular-run LUT, raster-order 3x3 NMS, the per-cell ini/min threshold
+retry, spatially distributed top-K selection, intensity-centroid
+orientation, 7x7 Gaussian blur, and rotated-BRIEF — one device dispatch per
+frame for all cameras together.
+
+Semantics match frontend/orb.py (same pyramid geometry, thresholds, cell
+retry, circular patch, SAME BRIEF pattern so descriptors are comparable
+across backends) with ONE deliberate deviation: quadtree redistribution
+(DistributeOctTree, ORBextractor.cc:571) is data-dependent recursion that
+does not map to a static-shape program. It is replaced by an equivalent
+spatial-uniformity policy: the best keypoint of every 35px cell is
+prioritized, then the remaining budget fills by response — the same
+"spread first, best response second" contract.
+
+All outputs are fixed-size per level (the per-level budget) with a validity
+mask; invalid slots carry zeros.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .orb import (
+    _ARC_LUT,
+    _BRIEF,
+    _CIRCLE,
+    _PATCH_OFF,
+    CELL_W,
+    EDGE_THRESHOLD,
+)
+
+_CELL_BONUS = 1 << 20  # priority offset for per-cell winners (scores < 2^16)
+
+
+def _level_sizes(H, W, n_levels, scale_factor):
+    sizes = [(H, W)]
+    for lv in range(1, n_levels):
+        s = scale_factor ** lv
+        sizes.append((max(int(round(H / s)), 8), max(int(round(W / s)), 8)))
+    return sizes
+
+
+def _budgets(n_features, n_levels, scale_factor):
+    f = 1.0 / scale_factor
+    n0 = n_features * (1 - f) / (1 - f ** n_levels)
+    out, total = [], 0
+    for lv in range(n_levels - 1):
+        b = int(round(n0 * f ** lv))
+        out.append(b)
+        total += b
+    out.append(max(n_features - total, 0))
+    return out
+
+
+def _resize_bilinear_jnp(img, h, w):
+    H, W = img.shape
+    ys = (jnp.arange(h) + 0.5) * H / h - 0.5
+    xs = (jnp.arange(w) + 0.5) * W / w - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    fy = jnp.clip(ys - y0, 0, 1)[:, None]
+    fx = jnp.clip(xs - x0, 0, 1)[None, :]
+    I = img.astype(jnp.float32)
+    out = (
+        I[y0][:, x0] * (1 - fy) * (1 - fx)
+        + I[y0][:, x1] * (1 - fy) * fx
+        + I[y1][:, x0] * fy * (1 - fx)
+        + I[y1][:, x1] * fy * fx
+    )
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+def _fast_masks(img, lut, threshold):
+    """(corner mask, response) — frontend/orb.py fast_detect semantics."""
+    H, W = img.shape
+    I = img.astype(jnp.int32)
+    c = I[3:-3, 3:-3]
+    mb = jnp.zeros(c.shape, jnp.int32)
+    md = jnp.zeros(c.shape, jnp.int32)
+    resp = jnp.zeros(c.shape, jnp.int32)
+    for k, (dx, dy) in enumerate(_CIRCLE):
+        p = I[3 + dy: H - 3 + dy, 3 + dx: W - 3 + dx]
+        d = p - c
+        mb = mb | (jnp.where(d > threshold, 1, 0) << k)
+        md = md | (jnp.where(d < -threshold, 1, 0) << k)
+        a = jnp.abs(d)
+        resp = resp + jnp.where(a > threshold, a - threshold, 0)
+    corner = lut[mb] | lut[md]
+    ok = jnp.zeros((H, W), bool).at[3:-3, 3:-3].set(corner)
+    score = jnp.zeros((H, W), jnp.int32).at[3:-3, 3:-3].set(
+        jnp.where(corner, resp, 0)
+    )
+    return ok, score
+
+
+def _nms3_jnp(score):
+    H, W = score.shape
+    pad = jnp.full((H + 2, W + 2), -1, score.dtype).at[1:-1, 1:-1].set(score)
+    center = pad[1:-1, 1:-1]
+    keep = jnp.ones((H, W), bool)
+    for dy, dx, strict in [(-1, -1, True), (-1, 0, True), (-1, 1, True),
+                           (0, -1, True), (0, 1, False), (1, -1, False),
+                           (1, 0, False), (1, 1, False)]:
+        nb = pad[1 + dy: H + 1 + dy, 1 + dx: W + 1 + dx]
+        keep = keep & ((center > nb) if strict else (center >= nb))
+    return keep
+
+
+def _cell_retry(cand_min, cand_ini, H, W):
+    """Per-cell ini/min retry: keep ini corners; where a cell has none,
+    admit the min-threshold corners (ComputeKeyPointsOctTree semantics)."""
+    b = EDGE_THRESHOLD - 3
+    hi, wi = H - 2 * b, W - 2 * b
+    ncy = -(-hi // CELL_W)
+    ncx = -(-wi // CELL_W)
+    ini_in = jnp.zeros((ncy * CELL_W, ncx * CELL_W), bool)
+    ini_in = ini_in.at[:hi, :wi].set(cand_ini[b: b + hi, b: b + wi])
+    has_ini = ini_in.reshape(ncy, CELL_W, ncx, CELL_W).any(axis=(1, 3))
+    has_full = jnp.repeat(
+        jnp.repeat(has_ini, CELL_W, axis=0), CELL_W, axis=1
+    )[:hi, :wi]
+    has_pix = jnp.zeros((H, W), bool).at[b: b + hi, b: b + wi].set(has_full)
+    inside = jnp.zeros((H, W), bool).at[b: b + hi, b: b + wi].set(True)
+    return inside & (cand_ini | (cand_min & ~has_pix))
+
+
+def _cell_best_mask(score, H, W):
+    """Mark the best-scoring pixel of every 35px cell (spatial uniformity
+    first — the quadtree's contract)."""
+    b = EDGE_THRESHOLD - 3
+    hi, wi = H - 2 * b, W - 2 * b
+    ncy = -(-hi // CELL_W)
+    ncx = -(-wi // CELL_W)
+    s_in = jnp.zeros((ncy * CELL_W, ncx * CELL_W), score.dtype)
+    s_in = s_in.at[:hi, :wi].set(score[b: b + hi, b: b + wi])
+    cells = s_in.reshape(ncy, CELL_W, ncx, CELL_W)
+    cmax = cells.max(axis=(1, 3), keepdims=True)
+    best = (cells == cmax) & (cells > 0)
+    best = best.reshape(ncy * CELL_W, ncx * CELL_W)[:hi, :wi]
+    return jnp.zeros((H, W), bool).at[b: b + hi, b: b + wi].set(best)
+
+
+def _gaussian_blur7_jnp(img, sigma=2.0):
+    r = 3
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = jnp.asarray(k / k.sum(), jnp.float32)
+    I = img.astype(jnp.float32)
+    pad = jnp.pad(I, r, mode="reflect")
+    tmp = jnp.zeros_like(pad)
+    Wd = img.shape[1]
+    tmp = tmp.at[:, r:-r].set(
+        sum(k[i] * pad[:, i: i + Wd] for i in range(7))
+    )
+    Hd = img.shape[0]
+    out = sum(k[i] * tmp[i: i + Hd, r:-r] for i in range(7))
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.float32)
+
+
+def _extract_level(img, lut, patch_off, brief, ini_th, min_th, budget):
+    """One pyramid level -> (xy (B,2) f32 level-px, score, angle, desc
+    (B,32) int32-as-u8, valid)."""
+    H, W = img.shape
+    ok_min, score = _fast_masks(img, lut, min_th)
+    ok_ini, _ = _fast_masks(img, lut, ini_th)
+    nms = _nms3_jnp(jnp.where(ok_min, score, 0))
+    cand_min = ok_min & nms
+    cand_ini = ok_ini & cand_min
+    cand = _cell_retry(cand_min, cand_ini, H, W)
+    s = jnp.where(cand, score, 0)
+    prio = s + jnp.where(_cell_best_mask(s, H, W), _CELL_BONUS, 0)
+    vals, flat = jax.lax.top_k(prio.reshape(-1), budget)
+    ys = flat // W
+    xs = flat % W
+    valid = vals > 0
+    sc = s.reshape(-1)[flat]
+
+    # intensity-centroid orientation
+    I = img.astype(jnp.float32)
+    py = jnp.clip(ys[:, None] + patch_off[None, :, 0], 0, H - 1)
+    px = jnp.clip(xs[:, None] + patch_off[None, :, 1], 0, W - 1)
+    vals_p = I[py, px]
+    m01 = jnp.sum(vals_p * patch_off[None, :, 0], axis=1)
+    m10 = jnp.sum(vals_p * patch_off[None, :, 1], axis=1)
+    ang = jnp.arctan2(m01, m10)
+
+    # rotated BRIEF on the blurred level
+    blur = _gaussian_blur7_jnp(img)
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    bx1, by1, bx2, by2 = brief[:, 0], brief[:, 1], brief[:, 2], brief[:, 3]
+
+    def samp(bx, by):
+        rx = jnp.round(ca[:, None] * bx[None, :] - sa[:, None] * by[None, :])
+        ry = jnp.round(sa[:, None] * bx[None, :] + ca[:, None] * by[None, :])
+        gx = jnp.clip(xs[:, None] + rx.astype(jnp.int32), 0, W - 1)
+        gy = jnp.clip(ys[:, None] + ry.astype(jnp.int32), 0, H - 1)
+        return blur[gy, gx]
+
+    bits = (samp(bx1, by1) < samp(bx2, by2)).astype(jnp.int32)  # (B,256)
+    pack_w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+    desc = jnp.einsum("kab,b->ka", bits.reshape(budget, 32, 8), pack_w)
+
+    xy = jnp.stack([xs, ys], axis=1).astype(jnp.float32)
+    return xy, sc, ang, desc, valid
+
+
+def build_orb_tpu(H, W, n_features=1200, scale_factor=1.2, n_levels=8,
+                  ini_th=20, min_th=7):
+    """Compile-once extractor for images of a fixed size. Returns a jitted
+    function (B,H,W) uint8 -> dict of per-keypoint arrays, K = n_features
+    slots ordered by pyramid level."""
+    sizes = _level_sizes(H, W, n_levels, scale_factor)
+    budgets = _budgets(n_features, n_levels, scale_factor)
+    lut = jnp.asarray(_ARC_LUT)
+    patch_off = jnp.asarray(_PATCH_OFF, jnp.int32)
+    brief = jnp.asarray(_BRIEF, jnp.int32)
+
+    def one_image(img):
+        outs = []
+        pyr_img = img
+        for lv in range(n_levels):
+            h, w = sizes[lv]
+            lvl_img = img if lv == 0 else _resize_bilinear_jnp(img, h, w)
+            xy, sc, ang, desc, valid = _extract_level(
+                lvl_img, lut, patch_off, brief, ini_th, min_th, budgets[lv]
+            )
+            outs.append((
+                xy * np.float32(scale_factor ** lv),
+                jnp.full(budgets[lv], lv, jnp.int32),
+                ang, desc, valid, sc,
+            ))
+        xy = jnp.concatenate([o[0] for o in outs])
+        octv = jnp.concatenate([o[1] for o in outs])
+        ang = jnp.concatenate([o[2] for o in outs])
+        desc = jnp.concatenate([o[3] for o in outs])
+        valid = jnp.concatenate([o[4] for o in outs])
+        sc = jnp.concatenate([o[5] for o in outs])
+        return {"xy": xy, "octave": octv, "angle": ang, "desc": desc,
+                "valid": valid, "score": sc}
+
+    return jax.jit(jax.vmap(one_image))
+
+
+class ORBExtractorTPU:
+    """Drop-in .extract() with the on-device pipeline; one compiled program
+    per (H, W, n_features) combination (cached on the instance)."""
+
+    def __init__(self, n_features=1200, scale_factor=1.2, n_levels=8,
+                 ini_th=20, min_th=7):
+        self.n_features = n_features
+        self.scale_factor = scale_factor
+        self.n_levels = n_levels
+        self.ini_th = ini_th
+        self.min_th = min_th
+        self._fns = {}
+
+    def set_num(self, n):
+        self.n_features = n
+
+    def _fn(self, H, W):
+        key = (H, W, self.n_features)
+        if key not in self._fns:
+            self._fns[key] = build_orb_tpu(
+                H, W, self.n_features, self.scale_factor, self.n_levels,
+                self.ini_th, self.min_th,
+            )
+        return self._fns[key]
+
+    def extract(self, image: np.ndarray):
+        out = self.extract_batch(image[None])
+        return tuple(o[0] for o in out)
+
+    def extract_batch(self, images: np.ndarray):
+        """(B,H,W) uint8 -> per-image lists (xy, octave, desc, angle), one
+        device round-trip for the whole batch."""
+        B, H, W = images.shape
+        out = self._fn(H, W)(jnp.asarray(images))
+        xy = np.asarray(out["xy"])
+        octv = np.asarray(out["octave"])
+        ang = np.asarray(out["angle"])
+        desc = np.asarray(out["desc"]).astype(np.uint8)
+        valid = np.asarray(out["valid"])
+        xys, octs, descs, angs = [], [], [], []
+        for b in range(B):
+            m = valid[b]
+            xys.append(xy[b][m].astype(np.float64))
+            octs.append(np.broadcast_to(octv, (len(m),))[m].astype(np.int64)
+                        if octv.ndim == 1 else octv[b][m].astype(np.int64))
+            descs.append(desc[b][m])
+            angs.append(ang[b][m].astype(np.float64))
+        return xys, octs, descs, angs

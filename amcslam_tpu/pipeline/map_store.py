@@ -290,15 +290,34 @@ class Frame:
 
 
 class Map:
-    """KF/MP registry with change index (Map.cc)."""
+    """KF/MP registry with change index (Map.cc) and the big map lock
+    (`mMutexMapUpdate`): in `System(threaded=True)` the background
+    mapper/loop-closer serializes its mutations against tracking's reads
+    through this reentrant lock (see pipeline/system.py). The sequential
+    default never contends on it."""
 
     def __init__(self, map_id: int = 0):
+        import threading
+
         self.id = map_id
         self.keyframes: dict[int, KeyFrame] = {}
         self.map_points: dict[int, MapPoint] = {}
         self.change_index = 0
         self.origin_kf: Optional[KeyFrame] = None
         self._kf_seq = 0
+        self.mutex = threading.RLock()
+
+    def __getstate__(self):
+        # locks are not picklable (atlas checkpointing); recreate on load
+        state = self.__dict__.copy()
+        state.pop("mutex", None)
+        return state
+
+    def __setstate__(self, state):
+        import threading
+
+        self.__dict__.update(state)
+        self.mutex = threading.RLock()
 
     def add_keyframe(self, kf: KeyFrame):
         # keyframe-only sequence number: ids come from a counter shared with

@@ -59,8 +59,13 @@ class System:
 
     # ------------------------------------------------------------------
     def track_multicamera(self, frame: Frame) -> TrackState:
-        """System::TrackMultiCamera -> Tracking::GrabImageMultiCam."""
-        state = self.tracker.grab_frame(frame)
+        """System::TrackMultiCamera -> Tracking::GrabImageMultiCam.
+
+        Threaded mode serializes tracking against the background
+        mapper/loop-closer through the active map's `mutex` (the
+        reference's mMutexMapUpdate, Map.h / Tracking.cc:1096)."""
+        with self.atlas.active.mutex:
+            state = self.tracker.grab_frame(frame)
         if not self.threaded:
             while self.local_mapper.run_once():
                 pass
@@ -73,9 +78,10 @@ class System:
         import time
 
         while not self._stop:
-            busy = self.local_mapper.run_once()
-            if self.loop_closer is not None:
-                busy = self.loop_closer.run_once() or busy
+            with self.atlas.active.mutex:
+                busy = self.local_mapper.run_once()
+                if self.loop_closer is not None:
+                    busy = self.loop_closer.run_once() or busy
             if not busy:
                 time.sleep(0.002)
 

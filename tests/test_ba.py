@@ -182,3 +182,35 @@ def test_pcg_single_solve_matches_dense_solve():
     np.testing.assert_allclose(np.asarray(dxl_d), np.asarray(dxl_p), atol=1e-8)
     np.testing.assert_allclose(float(xx_p), float(xx_d), rtol=1e-6)
     np.testing.assert_allclose(float(xb_p), float(xb_d), rtol=1e-6)
+
+
+def test_extrinsic_phase2_recovers_perturbed_text():
+    """LocalGPBA phase 2 (b_extrinsic, Optimizer.cc:1227-1240): with
+    observations generated under the TRUE extrinsic and the state's Text
+    perturbed, the second optimization phase pulls the extrinsic back
+    toward truth (solver-level isolation of VERDICT r2 item 3)."""
+    from amcslam_tpu.ops import lie
+    from amcslam_tpu.ops.host_geom import log_se3
+
+    data, state0, gt = make_local_ba_problem(
+        n_kf=8, n_fixed=1, n_lm=200, n_cams=3, obs_per_lm=4,
+        gpobs_per_lm=2, noise_px=0.3, seed=0, dtype=F64,
+    )
+    pert = np.asarray(
+        lie.exp_se3(jnp.asarray([0.02, -0.015, 0.01, 0.008, -0.006, 0.01], F64))
+    )
+    Text0 = np.asarray(state0.Text).copy()
+    Text_p = Text0.copy()
+    Text_p[0] = Text_p[0] @ pert
+    s0 = state0._replace(Text=jnp.asarray(Text_p, F64))
+    res = jax.jit(
+        lambda d, s: local_gp_ba(d, s, b_extrinsic=True, ext_min_obs=10)
+    )(data, s0)
+    assert bool(res.ok)
+
+    def ext_err(T):
+        return np.linalg.norm(log_se3(np.linalg.inv(Text0[0]) @ np.asarray(T)))
+
+    e0 = ext_err(Text_p[0])
+    e1 = ext_err(np.asarray(res.state.Text)[0])
+    assert e1 < 0.3 * e0, (e0, e1)

@@ -83,6 +83,67 @@ def test_reference_kf_fallback_recovers_from_bad_motion_model():
             pass
 
 
+@pytest.mark.slow
+def test_extrinsic_refinement_recovers_perturbed_tbc():
+    """b_extrinsic=True (LocalGPBA phase 2, Optimizer.cc:1227-1240 +
+    recovery :1419-1428), in the regime the feature serves: the map was
+    built under the TRUE calibration, then the rig's extrinsic estimate
+    drifts — subsequent local BAs must pull the static rig's Tbc back
+    toward truth, and tracking keeps using the refined value.
+
+    (When the map itself is built under the wrong extrinsic the problem is
+    largely self-consistent — the reference behaves identically there; the
+    from-scratch observability case is covered at solver level by
+    tests/test_ba.py::test_extrinsic_phase2_recovers_perturbed_text.)"""
+    from amcslam_tpu.ops.host_geom import exp_se3 as np_exp_se3
+
+    frames, rig, Ts_gt, _ = make_sequence(
+        n_frames=12, n_cams=3, n_lm=400, noise_px=0.3, seed=1
+    )
+    rig.ext_min_obs = 20
+    Tbc_true = rig.Tbc.copy()
+
+    atlas = Atlas()
+    cfg = TrackingConfig(max_frames_between_kf=3, ransac_min_match=15,
+                         kf_translation_th=0.25)
+    # phase 1: build a clean map under the true calibration
+    mapper = LocalMapping(rig, atlas.active, b_extrinsic=False)
+    tracker = Tracking(rig, atlas, cfg, local_mapper=mapper)
+    for f in frames[:7]:
+        tracker.grab_frame(f)
+        while mapper.run_once():
+            pass
+
+    # phase 2: the rig's extrinsic estimate drifts (keep it inside the
+    # frustum search window, ~2-3 px; larger errors suppress the async
+    # matches that carry the signal — the reference's 2.5/4 px radii
+    # behave the same)
+    pert = np_exp_se3(np.array([0.008, -0.006, 0.004, 0.004, -0.003, 0.005]))
+    rig.Tbc[0] = rig.Tbc[0] @ pert
+    Tbc_drifted = rig.Tbc[0].copy()
+    mapper2 = LocalMapping(rig, atlas.active, b_extrinsic=True,
+                           loop_closer=None)
+    mapper2.recent_points = mapper.recent_points
+    tracker.local_mapper = mapper2
+    for f in frames[7:]:
+        tracker.grab_frame(f)
+        while mapper2.run_once():
+            pass
+
+    def ext_err(T):
+        d = np.linalg.inv(Tbc_true[0]) @ T
+        from scipy.spatial.transform import Rotation
+
+        rot = np.linalg.norm(Rotation.from_matrix(d[:3, :3]).as_rotvec())
+        return rot + np.linalg.norm(d[:3, 3])
+
+    err0 = ext_err(Tbc_drifted)
+    err1 = ext_err(rig.Tbc[0])
+    # the rig was mutated (write-back happened) and moved toward truth
+    assert not np.allclose(rig.Tbc[0], Tbc_drifted), "extrinsic never refined"
+    assert err1 < 0.7 * err0, (err0, err1)
+
+
 def test_async_camera_triangulation():
     """CreateNewMapPoints must triangulate through ASYNC cameras at their
     GP-interpolated poses (LocalMapping.cc:360-393) — landmarks get created

@@ -116,3 +116,45 @@ def test_timing_and_verbose(capsys):
     Verbose.print_mess("shown", VerbosityLevel.NORMAL)
     out = capsys.readouterr().out
     assert "shown" in out and "hidden" not in out
+
+
+@pytest.mark.slow
+def test_threaded_mode_with_map_lock():
+    """System(threaded=True): the background mapper/loop-closer serializes
+    against tracking through the active map's mutex (mMutexMapUpdate) — the
+    run completes, tracks, and the map stays structurally consistent."""
+    import time
+
+    frames, rig, Ts_gt, _ = make_sequence(n_frames=8, n_cams=3, n_lm=250,
+                                          seed=2)
+    sys_ = System(
+        rig,
+        TrackingConfig(max_frames_between_kf=3, ransac_min_match=15,
+                       kf_translation_th=0.25),
+        enable_loop_closing=True,
+        threaded=True,
+    )
+    try:
+        states = [sys_.track_multicamera(f) for f in frames]
+        # let the worker drain
+        deadline = time.time() + 30
+        while time.time() < deadline and (
+            sys_.local_mapper.queue
+            or (sys_.loop_closer is not None and sys_.loop_closer.queue)
+        ):
+            time.sleep(0.05)
+    finally:
+        sys_.shutdown()
+    assert states[-1] == TrackState.OK, states
+    m = sys_.atlas.active
+    assert m.n_keyframes() >= 2
+    # structural consistency: every registered observation points back at a
+    # live keyframe slot holding this map point
+    for mp in m.map_points.values():
+        for kf_id, slots in mp.observations.items():
+            kf = m.keyframes.get(kf_id)
+            if kf is None:
+                continue
+            for c, g in enumerate(slots):
+                if g >= 0:
+                    assert kf.matches[g] == mp.id or kf.matches[g] < 0
