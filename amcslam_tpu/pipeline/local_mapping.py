@@ -20,6 +20,11 @@ from ..solver.ba import local_gp_ba
 from . import matcher
 from .extraction import apply_local_ba, extract_local_ba
 from .map_store import KeyFrame, Map, MapPoint
+from ..utils.timing import GLOBAL_TIMER
+
+# def-time jit; candidate counts are pow2-bucketed before the call so the
+# batched SVD compiles O(log n) programs, not one per keyframe insertion
+_triangulate_batch = jax.jit(jax.vmap(triangulate_dlt))
 from .rig import Rig
 
 
@@ -71,14 +76,21 @@ class LocalMapping:
         if not self.queue:
             return False
         kf = self.queue.pop(0)
-        self.process_new_keyframe(kf)
-        self.cull_map_points(kf)
-        self.create_new_map_points(kf)
-        self.fuse_neighbors(kf)
+        T = GLOBAL_TIMER
+        with T.span("lm.process_new_kf"):
+            self.process_new_keyframe(kf)
+        with T.span("lm.cull_map_points"):
+            self.cull_map_points(kf)
+        with T.span("lm.create_new_points"):
+            self.create_new_map_points(kf)
+        with T.span("lm.fuse_neighbors"):
+            self.fuse_neighbors(kf)
         if self.map.n_keyframes() > 2:
-            self.local_ba(kf)
+            with T.span("lm.local_ba"):
+                self.local_ba(kf)
         if self.loop_closer is not None:
-            self.loop_closer.insert_keyframe(kf)
+            with T.span("lm.loop_closing"):
+                self.loop_closer.insert_keyframe(kf)
         return True
 
     # ------------------------------------------------------------------
@@ -232,12 +244,30 @@ class LocalMapping:
 
         if not tri_r1:
             return 0
-        X, w = jax.vmap(triangulate_dlt)(
-            jnp.asarray(np.stack(tri_r1)), jnp.asarray(np.stack(tri_r2)),
-            jnp.asarray(np.stack(tri_T1)), jnp.asarray(np.stack(tri_T2)),
+        n_tri = len(tri_r1)
+        nbkt = 16
+        while nbkt < n_tri:
+            nbkt *= 2
+        r1_a = np.stack(tri_r1)
+        r2_a = np.stack(tri_r2)
+        T1_a = np.stack(tri_T1)
+        T2_a = np.stack(tri_T2)
+        if nbkt > n_tri:
+            pad = nbkt - n_tri
+            ray = np.tile(np.array([0.0, 0.0, 1.0]), (pad, 1))
+            eyeT = np.tile(np.eye(4), (pad, 1, 1))
+            off = eyeT.copy()
+            off[:, 0, 3] = 1.0  # baseline so the padded SVD is well-posed
+            r1_a = np.concatenate([r1_a, ray])
+            r2_a = np.concatenate([r2_a, ray])
+            T1_a = np.concatenate([T1_a, eyeT])
+            T2_a = np.concatenate([T2_a, off])
+        X, w = _triangulate_batch(
+            jnp.asarray(r1_a), jnp.asarray(r2_a),
+            jnp.asarray(T1_a), jnp.asarray(T2_a),
         )
-        X = np.asarray(X)
-        w = np.asarray(w)
+        X = np.asarray(X)[:n_tri]
+        w = np.asarray(w)[:n_tri]
         created = 0
         for n, (c1, g1, nb, c2, g2) in enumerate(tri_meta):
             if not np.isfinite(X[n]).all():

@@ -33,6 +33,7 @@ from ..solver.pose_solver import pose_gp_optimize
 # def-time jit cache: rebuilding the wrapper per call forces a full retrace
 # (measured ~8 s/solve host-side on the rendered-image pipeline)
 _pose_gp_optimize_jit = jax.jit(pose_gp_optimize)
+from ..utils.timing import GLOBAL_TIMER
 from . import matcher
 from .extraction import extract_pose_problem
 from .map_store import Atlas, Frame, GPObs, KeyFrame, Map, MapPoint
@@ -166,9 +167,11 @@ class Tracking:
         # prediction misses, but descriptor matching against the reference
         # keyframe still anchors the frame
         self._predict(frame)
-        n = self._track_motion_model(frame)
+        with GLOBAL_TIMER.span("track.motion_model"):
+            n = self._track_motion_model(frame)
         if n < self.cfg.min_track_matches:
-            n = self._track_reference_keyframe(frame)
+            with GLOBAL_TIMER.span("track.ref_kf"):
+                n = self._track_reference_keyframe(frame)
         if n < self.cfg.min_track_matches:
             self.state = (
                 TrackState.RECENTLY_LOST if m.n_keyframes() > 10 else TrackState.LOST
@@ -178,7 +181,8 @@ class Tracking:
             return self.state
 
         # --- TrackLocalMap (Tracking.cc:2004-2082)
-        n_local = self._track_local_map(frame)
+        with GLOBAL_TIMER.span("track.local_map"):
+            n_local = self._track_local_map(frame)
         self.n_inliers = n_local
         self.state = TrackState.OK if n_local >= self.cfg.min_local_matches else (
             TrackState.RECENTLY_LOST if m.n_keyframes() > 10 else TrackState.LOST
@@ -194,7 +198,8 @@ class Tracking:
             and not self.cfg.localization_only
             and self._need_new_keyframe(frame)
         ):
-            self._create_keyframe(frame)
+            with GLOBAL_TIMER.span("track.create_kf"):
+                self._create_keyframe(frame)
         else:
             self.frames_since_kf += 1
             if self.cfg.produce_gp_obs and self.state == TrackState.OK:

@@ -13,6 +13,7 @@ trajectory.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -27,9 +28,11 @@ W, H = 640, 480
 K4 = np.array([400.0, 400.0, 320.0, 240.0])
 
 
-def make_world(seed=0):
-    """Textured box corridor: ground, ceiling, two walls. Blocky random
-    textures (strong FAST corners at block edges) + fine noise."""
+def make_world(seed=0, half=4.0, ceiling=4.0, span=12.0):
+    """Textured box: ground, ceiling, two walls (at y = +-half). Blocky
+    random textures (strong FAST corners at block edges) + fine noise; the
+    texture tiles every `span` meters — keep `span` >= the scene extent for
+    loop-closure scenarios so places stay visually distinct."""
     rng = np.random.RandomState(seed)
 
     def tex(n_blocks=96, up=6):
@@ -42,12 +45,12 @@ def make_world(seed=0):
     ex = np.array([1.0, 0, 0])
     ey = np.array([0, 1.0, 0])
     ez = np.array([0, 0, 1.0])
-    s = 96 * 6 / 12.0  # texture spans 12 m
+    s = 96 * 6 / span
     return [
-        (np.array([0, 0, 0.0]), ez, ex, ey, tex(), s),      # ground z=0
-        (np.array([0, 0, 4.0]), -ez, ex, ey, tex(), s),     # ceiling z=4
-        (np.array([0, -4.0, 0]), ey, ex, ez, tex(), s),     # wall y=-4
-        (np.array([0, 4.0, 0]), -ey, ex, ez, tex(), s),     # wall y=+4
+        (np.array([0, 0, 0.0]), ez, ex, ey, tex(), s),          # ground z=0
+        (np.array([0, 0, ceiling]), -ez, ex, ey, tex(), s),     # ceiling
+        (np.array([0, -half, 0]), ey, ex, ez, tex(), s),        # wall y=-h
+        (np.array([0, half, 0]), -ey, ex, ez, tex(), s),        # wall y=+h
     ]
 
 
@@ -127,10 +130,18 @@ def gt_pose_circle(t: float, period: float = 10.0, radius: float = 1.5):
 
 
 def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
-        circle=False):
-    planes = make_world(seed)
+        circle=False, circle_period=16.0, circle_radius=5.0):
+    if circle:
+        # loop-closure scenario: a big circle in a big non-repeating box so
+        # the far side looks different from the start, odometry drift
+        # accumulates over the lap, and the revisit must be closed by the
+        # loop-closing thread (detection via the keyframe database)
+        planes = make_world(seed, half=12.0, ceiling=6.0, span=40.0)
+        pose_fn = lambda t: gt_pose_circle(t, circle_period, circle_radius)
+    else:
+        planes = make_world(seed)
+        pose_fn = gt_pose
     rig = make_rig()
-    pose_fn = (lambda t: gt_pose_circle(t)) if circle else gt_pose
     extractors = [ORBExtractor(n_features=800) for _ in range(3)] + [
         ORBExtractor(n_features=800)
     ]
@@ -189,13 +200,17 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
           "(matching+solvers+mapping; mean includes one-time jit traces)")
     print(f"ATE RMSE {ate:.4f} m  ({100*ate/max(dist,1e-9):.2f}% of "
           f"{dist:.1f} m)")
+    if os.environ.get("AMCSLAM_STAGE_STATS"):
+        from amcslam_tpu.utils.timing import GLOBAL_TIMER
+
+        GLOBAL_TIMER.print_stats()
     if plot:
         from amcslam_tpu.pipeline.viewer import draw_map
 
         draw_map(slam.atlas.active, trajectory=traj,
                  path=plot)
         print(f"map render -> {plot}")
-    return ate, dist
+    return ate, dist, n_loops
 
 
 if __name__ == "__main__":
@@ -204,5 +219,11 @@ if __name__ == "__main__":
     ap.add_argument("--plot", default=None)
     ap.add_argument("--circle", action="store_true",
                     help="closed circular trajectory (exercises loop closing)")
+    ap.add_argument("--period", type=float, default=16.0)
+    ap.add_argument("--radius", type=float, default=5.0)
     args = ap.parse_args()
-    run(n_frames=args.frames, plot=args.plot, circle=args.circle)
+    n = args.frames
+    if args.circle and n == 50:
+        n = int(args.period * 10.0) + 20  # one lap + revisit overlap
+    run(n_frames=n, plot=args.plot, circle=args.circle,
+        circle_period=args.period, circle_radius=args.radius)

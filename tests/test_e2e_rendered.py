@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 def test_rendered_image_pipeline_tracks():
     import e2e_rendered as e2e
 
-    ate, dist = e2e.run(n_frames=8, fps=10.0, seed=0)
+    ate, dist, _ = e2e.run(n_frames=8, fps=10.0, seed=0)
     # 8 frames (~0.7 m): tracking held and the error is sub-centimetre-ish;
     # the percentage bound is loose because the denominator is tiny.
     assert np.isfinite(ate)
