@@ -122,3 +122,41 @@ def hamming_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         np.ascontiguousarray(a, np.uint8), np.ascontiguousarray(b, np.uint8)
     )
     return np.frombuffer(out, np.int32).reshape(len(a), len(b)).copy()
+
+
+def match_window(u, v, valid, r_pt, lvl_lo, lvl_hi, ur_pred, mp_desc,
+                 kp_u, kp_v, kp_oct, kp_r, kp_ur, kp_desc,
+                 max_dist: int, ratio: float = 0.0,
+                 use_pt_radius: bool = True, use_ur: bool = False):
+    """Projection-window descriptor matching over a sorted-u keypoint index
+    (the native form of the ORBmatcher SearchByProjection window walks).
+    Returns (best_j (M,) int64 with -1 for none, best_d (M,) int32)."""
+    mod = _require()
+    f32c = lambda x: np.ascontiguousarray(x, np.float32)
+    i32c = lambda x: np.ascontiguousarray(x, np.int32)
+    bj_b, bd_b = mod.match_window(
+        f32c(u), f32c(v), np.ascontiguousarray(valid, np.uint8), f32c(r_pt),
+        i32c(lvl_lo), i32c(lvl_hi), f32c(ur_pred),
+        np.ascontiguousarray(mp_desc, np.uint8),
+        f32c(kp_u), f32c(kp_v), i32c(kp_oct), f32c(kp_r), f32c(kp_ur),
+        np.ascontiguousarray(kp_desc, np.uint8),
+        int(max_dist), float(ratio), int(use_pt_radius), int(use_ur),
+    )
+    bj = np.frombuffer(bj_b, np.int32).astype(np.int64)
+    bd = np.frombuffer(bd_b, np.int32).copy()
+    return bj, bd
+
+
+def hamming_best(a: np.ndarray, b: np.ndarray):
+    """Fused nearest/second-nearest Hamming reduction: for each row of `a`,
+    the index + distance of its closest descriptor in `b` and the
+    second-closest distance — O(N+M) memory, threaded over rows, never
+    materializing the (N,M) table. Returns (best_j, best_d, second_d)."""
+    mod = _require()
+    bj_b, bd_b, sd_b = mod.hamming_best(
+        np.ascontiguousarray(a, np.uint8), np.ascontiguousarray(b, np.uint8)
+    )
+    bj = np.frombuffer(bj_b, np.int32).astype(np.int64)
+    bd = np.frombuffer(bd_b, np.int32).copy()
+    sd = np.frombuffer(sd_b, np.int32).copy()
+    return bj, bd, sd

@@ -25,11 +25,35 @@ from .rig import Rig
 CLOSE_DEPTH_TH = 10.0
 
 
-def _bucket(n: int, minimum: int = 16) -> int:
+def _bucket(n: int, minimum: int = 16, factor: int = 2) -> int:
     b = minimum
     while b < n:
-        b *= 2
+        b *= factor
     return b
+
+
+# High-water padding for the local-BA problem: its six shape dimensions
+# (window KFs, GP pairs, three edge types, landmarks) each fluctuate with
+# map content, and every NEW combination compiles a fresh XLA program —
+# independent pow2 buckets still produced tens of distinct combos over a
+# run (profiled at ~38 s median per local BA on the remote-compile path,
+# nearly all of it compilation). Monotone per-process maxima make the
+# shape vector change only when some dimension outgrows its historical
+# max: total compiles are bounded by the number of growth events
+# (~log2 per dimension), concentrated at the start of a run. Padding
+# cost is bounded because the local window itself is bounded.
+_HIGH_WATER: dict[str, int] = {}
+
+
+def _hw_bucket(key: str, n: int, minimum: int = 16, factor: int = 2) -> int:
+    b = max(_bucket(n, minimum, factor), _HIGH_WATER.get(key, 0))
+    _HIGH_WATER[key] = b
+    return b
+
+
+def reset_bucket_high_water():
+    """Forget the per-process shape maxima (tests / bench isolation)."""
+    _HIGH_WATER.clear()
 
 
 def _pad(arr, n, fill=0):
@@ -163,7 +187,7 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
     # GP chain, referenced by no edge) — otherwise every new window size
     # compiles a fresh local-BA program, and the window grows by one KF at a
     # time early in a run.
-    K = _bucket(K_real, minimum=4)
+    K = _hw_bucket("lba.K", K_real, minimum=4)
 
     # --- pose-level arrays
     times = np.array([k.timestamp for k in kfs])
@@ -233,8 +257,13 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
                 mg_close.append(_depth(k, obs.cam, mp) < CLOSE_DEPTH_TH)
                 mg_meta.append(("gp", kf_id, obs, mp))
 
-    Em, Eg, Es = _bucket(max(len(mg), 1)), _bucket(max(len(sg), 1)), _bucket(max(len(st), 1))
-    Ng = _bucket(max(len(gp_pairs), 1), minimum=4)
+    # edge/landmark dims grow x4: trace+compile of the local-BA program is
+    # shape-independent and dominates (30-60 s a shot), so fewer, coarser
+    # shape steps beat tight padding (average 2x pad on linear-cost stages)
+    Em = _hw_bucket("lba.Em", max(len(mg), 1), minimum=64, factor=4)
+    Eg = _hw_bucket("lba.Eg", max(len(sg), 1), minimum=64, factor=4)
+    Es = _hw_bucket("lba.Es", max(len(st), 1), minimum=64, factor=4)
+    Ng = _hw_bucket("lba.Ng", max(len(gp_pairs), 1), minimum=4)
     mg_a = np.array(mg) if mg else np.zeros((0, 8))
     sg_a = np.array(sg) if sg else np.zeros((0, 8))
     st_a = np.array(st) if st else np.zeros((0, 7))
@@ -293,7 +322,7 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
         st_close=jnp.asarray(_pad(np.asarray(st_close, bool), Es, False)),
     )
 
-    L = _bucket(max(len(lms), 1))
+    L = _hw_bucket("lba.L", max(len(lms), 1), minimum=64, factor=4)
     from ..solver.ba import with_landmark_tables
 
     data = with_landmark_tables(data, L)
@@ -423,7 +452,8 @@ def extract_pose_problem(
             st.append((*mp.position, uv[0], uv[1], ur, w, ur >= 0, close))
             st_idx.append(gidx)
 
-    Nm, Ns = _bucket(max(len(mg), 1)), _bucket(max(len(st), 1))
+    Nm = _hw_bucket("pose.Nm", max(len(mg), 1), minimum=64, factor=4)
+    Ns = _hw_bucket("pose.Ns", max(len(st), 1), minimum=64, factor=4)
     mg_a = np.array(mg) if mg else np.zeros((0, 9))
     st_a = np.array(st) if st else np.zeros((0, 9))
 

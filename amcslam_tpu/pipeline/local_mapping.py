@@ -212,46 +212,71 @@ class LocalMapping:
                 d1, d2, max_dist=matcher.TH_LOW, ratio=0.9,
                 ang1=ang1, ang2=ang2,
             )
-            for g1, g2 in enumerate(idx2):
-                if g2 < 0 or not free1[g1] or nb.matches[g2] >= 0:
-                    continue
-                c1, c2 = int(cam1[g1]), int(cam2[g2])
-                if not base_ok[c1, c2]:
-                    continue
-                # epipolar gate: distance of kp2 from kp1's epipolar line
-                # (CheckDistEpipolarLine, 3.84 * sigma2 of kp2's octave)
-                l2 = F12[c1, c2].T @ np.append(kp1[g1], 1.0)
-                num = l2 @ np.append(kp2[g2], 1.0)
-                den = l2[0] ** 2 + l2[1] ** 2
-                if den < 1e-12 or num * num / den > 3.84 * self.rig.level_sigma2[oct2[g2]]:
-                    continue
-                r1 = Kinvs[c1] @ np.append(kp1[g1], 1.0)
-                r2 = Kinvs[c2] @ np.append(kp2[g2], 1.0)
-                # parallax gate: nearly parallel rays triangulate badly
-                # (cosParallaxRays < 0.9998, LocalMapping.cc:480)
-                ray1 = Twc1[c1][:3, :3] @ r1
-                ray2 = Twc2[c2][:3, :3] @ r2
-                cos_par = ray1 @ ray2 / (
-                    np.linalg.norm(ray1) * np.linalg.norm(ray2)
-                )
-                if cos_par >= 0.9998:
-                    continue
-                tri_r1.append(r1 / r1[2])
-                tri_r2.append(r2 / r2[2])
-                tri_T1.append(Tcw1[c1])
-                tri_T2.append(Tcw2[c2])
-                tri_meta.append((c1, g1, nb, c2, int(g2)))
+            # batched candidate gates (the reference's per-pair loop,
+            # LocalMapping.cc:434-569, vectorized over every match at once)
+            g1s = np.nonzero((idx2 >= 0) & free1)[0]
+            if len(g1s) == 0:
+                continue
+            g2s = idx2[g1s]
+            keep = nb.matches[g2s] < 0
+            g1s, g2s = g1s[keep], g2s[keep]
+            if len(g1s) == 0:
+                continue
+            c1v, c2v = cam1[g1s], cam2[g2s]
+            ok = base_ok[c1v, c2v]
+            g1s, g2s, c1v, c2v = g1s[ok], g2s[ok], c1v[ok], c2v[ok]
+            if len(g1s) == 0:
+                continue
+            ones = np.ones((len(g1s), 1))
+            kp1h = np.concatenate([kp1[g1s], ones], axis=1)
+            kp2h = np.concatenate([kp2[g2s], ones], axis=1)
+            # epipolar gate: distance of kp2 from kp1's epipolar line
+            # (CheckDistEpipolarLine, 3.84 * sigma2 of kp2's octave)
+            l2 = np.einsum("nji,nj->ni", F12[c1v, c2v], kp1h)
+            num = np.einsum("ni,ni->n", l2, kp2h)
+            den = l2[:, 0] ** 2 + l2[:, 1] ** 2
+            ep_ok = (den >= 1e-12) & (
+                num * num <= 3.84 * self.rig.level_sigma2[oct2[g2s]]
+                * np.maximum(den, 1e-12)
+            )
+            # parallax gate: nearly parallel rays triangulate badly
+            # (cosParallaxRays < 0.9998, LocalMapping.cc:480)
+            Kinv_a = np.stack(Kinvs)
+            Rwc1_a = np.stack([T[:3, :3] for T in Twc1])
+            Rwc2_a = np.stack([T[:3, :3] for T in Twc2])
+            r1 = np.einsum("nij,nj->ni", Kinv_a[c1v], kp1h)
+            r2 = np.einsum("nij,nj->ni", Kinv_a[c2v], kp2h)
+            ray1 = np.einsum("nij,nj->ni", Rwc1_a[c1v], r1)
+            ray2 = np.einsum("nij,nj->ni", Rwc2_a[c2v], r2)
+            cos_par = np.einsum("ni,ni->n", ray1, ray2) / (
+                np.linalg.norm(ray1, axis=1) * np.linalg.norm(ray2, axis=1)
+            )
+            sel = ep_ok & (cos_par < 0.9998)
+            if not sel.any():
+                continue
+            g1s, g2s, c1v, c2v = g1s[sel], g2s[sel], c1v[sel], c2v[sel]
+            r1, r2 = r1[sel], r2[sel]
+            Tcw1_a = np.stack(Tcw1)
+            Tcw2_a = np.stack(Tcw2)
+            tri_r1.append(r1 / r1[:, 2:3])
+            tri_r2.append(r2 / r2[:, 2:3])
+            tri_T1.append(Tcw1_a[c1v])
+            tri_T2.append(Tcw2_a[c2v])
+            tri_meta.extend(
+                (int(c1), int(g1), nb, int(c2), int(g2))
+                for c1, g1, c2, g2 in zip(c1v, g1s, c2v, g2s)
+            )
 
         if not tri_r1:
             return 0
-        n_tri = len(tri_r1)
+        r1_a = np.concatenate(tri_r1)
+        r2_a = np.concatenate(tri_r2)
+        T1_a = np.concatenate(tri_T1)
+        T2_a = np.concatenate(tri_T2)
+        n_tri = len(r1_a)
         nbkt = 16
         while nbkt < n_tri:
             nbkt *= 2
-        r1_a = np.stack(tri_r1)
-        r2_a = np.stack(tri_r2)
-        T1_a = np.stack(tri_T1)
-        T2_a = np.stack(tri_T2)
         if nbkt > n_tri:
             pad = nbkt - n_tri
             ray = np.tile(np.array([0.0, 0.0, 1.0]), (pad, 1))
@@ -268,42 +293,56 @@ class LocalMapping:
         )
         X = np.asarray(X)[:n_tri]
         w = np.asarray(w)[:n_tri]
+
+        # --- batched acceptance gates (cheirality, reprojection chi2 in
+        # both views, octave scale consistency — LocalMapping.cc:480-569)
+        meta_c1 = np.array([m[0] for m in tri_meta])
+        meta_g1 = np.array([m[1] for m in tri_meta])
+        meta_c2 = np.array([m[3] for m in tri_meta])
+        meta_g2 = np.array([m[4] for m in tri_meta])
+        o1 = np.array([
+            int(kf.kp_octaves[c][g - kf.kp_offsets[c]])
+            for c, g in zip(meta_c1, meta_g1)
+        ])
+        o2 = np.array([
+            int(m[2].kp_octaves[m[3]][m[4] - m[2].kp_offsets[m[3]]])
+            for m in tri_meta
+        ])
+        uv2 = np.stack([
+            np.asarray(m[2].keypoints[m[3]])[m[4] - m[2].kp_offsets[m[3]]]
+            for m in tri_meta
+        ])
+        T1r = T1_a[:n_tri]
+        T2r = T2_a[:n_tri]
+        Xc1 = np.einsum("nij,nj->ni", T1r[:, :3, :3], X) + T1r[:, :3, 3]
+        Xc2 = np.einsum("nij,nj->ni", T2r[:, :3, :3], X) + T2r[:, :3, 3]
+        Ka = np.asarray(self.rig.K)
+        K1v, K2v = Ka[meta_c1], Ka[meta_c2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p1 = K1v[:, :2] * Xc1[:, :2] / Xc1[:, 2:3] + K1v[:, 2:]
+            p2 = K2v[:, :2] * Xc2[:, :2] / Xc2[:, 2:3] + K2v[:, 2:]
+        e1 = np.einsum("ni,ni->n", p1 - kp1[meta_g1], p1 - kp1[meta_g1])
+        e2 = np.einsum("ni,ni->n", p2 - uv2, p2 - uv2)
+        cen1 = -np.einsum("nji,nj->ni", T1r[:, :3, :3], T1r[:, :3, 3])
+        cen2 = -np.einsum("nji,nj->ni", T2r[:, :3, :3], T2r[:, :3, 3])
+        dist1 = np.linalg.norm(X - cen1, axis=1)
+        dist2 = np.linalg.norm(X - cen2, axis=1)
+        sig2 = np.asarray(self.rig.level_sigma2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio_dist = dist2 / np.maximum(dist1, 1e-12)
+        ratio_oct = sf ** o1.astype(float) / sf ** o2.astype(float)
+        accept = (
+            np.isfinite(X).all(axis=1)
+            & (Xc1[:, 2] > 0) & (Xc2[:, 2] > 0) & (np.abs(w) >= 1e-9)
+            & (e1 <= 5.991 * sig2[o1]) & (e2 <= 5.991 * sig2[o2])
+            & (dist1 > 0) & (dist2 > 0)
+            & (ratio_dist * ratio_factor > ratio_oct)
+            & (ratio_dist < ratio_oct * ratio_factor)
+        )
+
         created = 0
-        for n, (c1, g1, nb, c2, g2) in enumerate(tri_meta):
-            if not np.isfinite(X[n]).all():
-                continue
-            Tcw1_, Tcw2_ = tri_T1[n], tri_T2[n]
-            Xc1 = Tcw1_[:3, :3] @ X[n] + Tcw1_[:3, 3]
-            Xc2 = Tcw2_[:3, :3] @ X[n] + Tcw2_[:3, 3]
-            # cheirality in both views
-            if Xc1[2] <= 0 or Xc2[2] <= 0 or abs(w[n]) < 1e-9:
-                continue
-            # reprojection chi2 in both views (5.991 * sigma2 per octave)
-            o1 = int(kf.kp_octaves[c1][g1 - kf.kp_offsets[c1]])
-            o2 = int(nb.kp_octaves[c2][g2 - nb.kp_offsets[c2]])
-            K1_, K2_ = self.rig.K[c1], self.rig.K[c2]
-            e1 = np.array([
-                K1_[0] * Xc1[0] / Xc1[2] + K1_[2],
-                K1_[1] * Xc1[1] / Xc1[2] + K1_[3],
-            ]) - kp1[g1]
-            e2 = np.array([
-                K2_[0] * Xc2[0] / Xc2[2] + K2_[2],
-                K2_[1] * Xc2[1] / Xc2[2] + K2_[3],
-            ]) - np.asarray(nb.keypoints[c2])[g2 - nb.kp_offsets[c2]]
-            if (e1 @ e1) > 5.991 * self.rig.level_sigma2[o1]:
-                continue
-            if (e2 @ e2) > 5.991 * self.rig.level_sigma2[o2]:
-                continue
-            # octave scale consistency (LocalMapping.cc:552-560)
-            dist1 = np.linalg.norm(X[n] - (-Tcw1_[:3, :3].T @ Tcw1_[:3, 3]))
-            dist2 = np.linalg.norm(X[n] - (-Tcw2_[:3, :3].T @ Tcw2_[:3, 3]))
-            if dist1 <= 0 or dist2 <= 0:
-                continue
-            ratio_dist = dist2 / dist1
-            ratio_oct = sf ** o1 / sf ** o2
-            if (ratio_dist * ratio_factor <= ratio_oct
-                    or ratio_dist >= ratio_oct * ratio_factor):
-                continue
+        for n in np.nonzero(accept)[0]:
+            c1, g1, nb, c2, g2 = tri_meta[n]
             if kf.matches[g1] >= 0 or nb.matches[g2] >= 0:
                 continue
             cam_l1 = g1 - kf.kp_offsets[c1]

@@ -55,6 +55,25 @@ def hamming_table(d1: jax.Array, d2: jax.Array) -> jax.Array:
     return (s1 + s2.T - 2.0 * dot).astype(jnp.int32)
 
 
+@jax.jit
+def _match_reduce(d1: jax.Array, d2: jax.Array, n, m):
+    """Fused Hamming table + nearest/second-nearest reduction. The (N,M)
+    table lives only in device memory inside one XLA program; only O(N+M)
+    vectors return to the host — at pipeline scale (4k x 4k) that is a
+    64 MB -> 100 KB cut in device->host traffic per matcher call.
+    Rows >= n / cols >= m are padding and masked to BIG."""
+    BIG = jnp.int32(1 << 30)
+    D = hamming_table(d1, d2)
+    D = jnp.where(jnp.arange(D.shape[1])[None, :] < m, D, BIG)
+    D = jnp.where(jnp.arange(D.shape[0])[:, None] < n, D, BIG)
+    best_j = jnp.argmin(D, axis=1)
+    best_d = jnp.min(D, axis=1)
+    D2 = D.at[jnp.arange(D.shape[0]), best_j].set(BIG)
+    second_d = jnp.min(D2, axis=1)
+    col_best = jnp.argmin(D, axis=0)
+    return best_j, best_d, second_d, col_best
+
+
 def _bucket(n: int) -> int:
     b = 32
     while b < n:
@@ -73,7 +92,7 @@ def hamming(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
         return np.zeros((n, m), np.int32)
     from .. import native
 
-    if native.available() and n * m <= (1 << 22):
+    if native.available() and n * m <= (1 << 25):
         return native.hamming_matrix(d1, d2)
     nb, mb = _bucket(n), _bucket(m)
     p1 = np.zeros((nb, 32), np.uint8)
@@ -129,15 +148,27 @@ def match_descriptors(
     mbCheckOrientation). Returns (idx2 per idx1, -1 none)."""
     if len(d1) == 0 or len(d2) == 0:
         return -np.ones(len(d1), np.int64)
-    D = hamming(d1, d2)
-    best2 = np.argmin(D, axis=1)
-    bestd = D[np.arange(len(d1)), best2]
-    Ds = np.sort(D, axis=1)
-    second = Ds[:, 1] if D.shape[1] > 1 else np.full(len(d1), 1 << 30)
+    from .. import native
+
+    n, m = len(d1), len(d2)
+    if native.available():
+        # fused native reduction: no (N,M) table, threaded over rows
+        best2, bestd, second = native.hamming_best(d1, d2)
+        best1 = native.hamming_best(d2, d1)[0] if mutual else None
+    else:
+        nb, mb = _bucket(n), _bucket(m)
+        p1 = np.zeros((nb, 32), np.uint8)
+        p1[:n] = d1
+        p2 = np.zeros((mb, 32), np.uint8)
+        p2[:m] = d2
+        bj, bd, sd, cb = _match_reduce(jnp.asarray(p1), jnp.asarray(p2), n, m)
+        best2 = np.asarray(bj)[:n].astype(np.int64)
+        bestd = np.asarray(bd)[:n]
+        second = np.asarray(sd)[:n]
+        best1 = np.asarray(cb)[:m].astype(np.int64) if mutual else None
     ok = (bestd <= max_dist) & (bestd <= ratio * second)
     if mutual:
-        best1 = np.argmin(D, axis=0)
-        ok &= best1[best2] == np.arange(len(d1))
+        ok &= best1[best2] == np.arange(n)
     out = np.where(ok, best2, -1).astype(np.int64)
     if ang1 is not None and ang2 is not None:
         out = rotation_consistency(out, ang1, ang2)
@@ -168,12 +199,28 @@ def search_by_projection(
     v = K[1] * Xc[:, 1] / np.maximum(z, 1e-9) + K[3]
     vis = z > 0.1
 
+    if scale_factors is not None:
+        kp_r = radius * scale_factors[kp_octave]
+    else:
+        kp_r = np.full(len(kp), float(radius))
+
+    from .. import native
+
+    if native.available():
+        # sorted-u window walk in C++: O(M log N + M*k) instead of the
+        # O(M*N) mask + table
+        zeros = np.zeros(M, np.float32)
+        best, _ = native.match_window(
+            u, v, vis, zeros, np.zeros(M, np.int32),
+            np.full(M, 1 << 20, np.int32), zeros, mp_descriptors,
+            kp[:, 0], kp[:, 1], kp_octave, kp_r, np.full(len(kp), -1.0),
+            kp_desc, max_dist, ratio=0.0, use_pt_radius=False,
+        )
+        return best
+
     du = np.abs(u[:, None] - kp[None, :, 0])
     dv = np.abs(v[:, None] - kp[None, :, 1])
-    if scale_factors is not None:
-        r = radius * scale_factors[kp_octave][None, :]
-    else:
-        r = radius
+    r = kp_r[None, :]
     admissible = (du <= r) & (dv <= r) & vis[:, None]
 
     D = hamming(mp_descriptors, kp_desc)
@@ -258,6 +305,24 @@ def search_by_projection_frustum(
     r = np.where(view_cos > 0.998, 2.5, 4.0) * th
     r = r * scale_factor ** level  # (M,)
 
+    use_ur = kp_ur is not None and bf > 0
+    ur_pred = (
+        u - bf / np.maximum(z, 1e-9) if use_ur else np.zeros(M, np.float32)
+    )
+
+    from .. import native
+
+    if native.available():
+        lvl_lo = np.where(have_range, level - 1, 0).astype(np.int32)
+        lvl_hi = np.where(have_range, level, n_levels).astype(np.int32)
+        best, _ = native.match_window(
+            u, v, in_frustum, r, lvl_lo, lvl_hi, ur_pred, mp_descriptors,
+            kp[:, 0], kp[:, 1], kp_octave, np.zeros(len(kp), np.float32),
+            kp_ur if use_ur else np.full(len(kp), -1.0), kp_desc,
+            max_dist, ratio=ratio, use_pt_radius=True, use_ur=use_ur,
+        )
+        return best, in_frustum
+
     du = np.abs(u[:, None] - kp[None, :, 0])
     dv = np.abs(v[:, None] - kp[None, :, 1])
     # points without distance-range info (max_dist unset) cannot predict a
@@ -268,8 +333,7 @@ def search_by_projection_frustum(
     admissible = (
         (du <= r[:, None]) & (dv <= r[:, None]) & oct_ok & in_frustum[:, None]
     )
-    if kp_ur is not None and bf > 0:
-        ur_pred = u - bf / np.maximum(z, 1e-9)
+    if use_ur:
         has_ur = kp_ur[None, :] > 0
         ur_ok = ~has_ur | (
             np.abs(ur_pred[:, None] - kp_ur[None, :]) <= r[:, None]
@@ -278,15 +342,20 @@ def search_by_projection_frustum(
 
     D = hamming(mp_descriptors, kp_desc)
     D = np.where(admissible, D, 1 << 30)
-    order = np.argsort(D, axis=1)
-    best = order[:, 0]
-    bestd = D[np.arange(M), best]
     if D.shape[1] > 1:
-        second = order[:, 1]
-        secondd = D[np.arange(M), second]
+        # top-2 via argpartition: O(NM) instead of the full-row argsort
+        top2 = np.argpartition(D, 1, axis=1)[:, :2]
+        d2v = np.take_along_axis(D, top2, 1)
+        swap = d2v[:, 0] > d2v[:, 1]
+        best = np.where(swap, top2[:, 1], top2[:, 0])
+        second = np.where(swap, top2[:, 0], top2[:, 1])
+        bestd = np.where(swap, d2v[:, 1], d2v[:, 0])
+        secondd = np.where(swap, d2v[:, 0], d2v[:, 1])
         same_level = kp_octave[best] == kp_octave[second]
         ratio_ok = ~same_level | (bestd <= ratio * secondd)
     else:
+        best = np.zeros(M, np.int64)
+        bestd = D[:, 0]
         ratio_ok = np.ones(M, bool)
     ok = (bestd <= max_dist) & ratio_ok
     return np.where(ok, best, -1).astype(np.int64), in_frustum

@@ -291,9 +291,35 @@ class Tracking:
     def _track_motion_model(self, frame: Frame) -> int:
         m = self.atlas.active
         last_ids = set(int(i) for i in self.last_frame.matches if i >= 0)
-        self._match_map_points(frame, last_ids, self.cfg.search_radius)
+        n_m = self._match_map_points(frame, last_ids, self.cfg.search_radius)
+        if n_m < 20:
+            # wider-window retry (Tracking.cc:1848-1855): clear the partial
+            # associations and search again at 2x the radius
+            frame.matches[:] = -1
+            frame.outlier[:] = False
+            n_m = self._match_map_points(
+                frame, last_ids, 2 * self.cfg.search_radius
+            )
+        if n_m < 20:
+            return 0
         n = self._pose_solve(frame)
+        # Acceptance needs direct support on the CURRENT vertex: async-camera
+        # GP edges sample only C-1 distinct interpolation times, so with the
+        # previous vertex free (fix=false) they can be satisfied by bending
+        # v1/velocities while the current pose stays wrong — only the
+        # synchronized stereo camera's unary edges pin v2. The reference's
+        # nmatchesMap>=10 check (Tracking.cc:1889) implicitly relies on its
+        # synchronized camera; we make that requirement explicit per camera.
+        if self._stereo_inlier_count(frame) < 10:
+            return 0
         return n
+
+    def _stereo_inlier_count(self, frame: Frame) -> int:
+        cam = self.rig.n_cams - 1
+        lo = int(frame.kp_offsets[cam])
+        hi = lo + len(frame.keypoints[cam])
+        sl = slice(lo, hi)
+        return int(((frame.matches[sl] >= 0) & ~frame.outlier[sl]).sum())
 
     def _track_reference_keyframe(self, frame: Frame) -> int:
         """TrackReferenceKeyFrame (Tracking.cc:1893-1937): pure descriptor
@@ -549,8 +575,11 @@ class Tracking:
     def _pose_solve(self, frame: Frame) -> int:
         """Per-frame GP pose optimization + outlier write-back."""
         m = self.atlas.active
+        # the reference frees the previous frame's vertex in every per-frame
+        # pose solve (fix=false at Tracking.cc:1863/1912/2036) and discards
+        # its refinement — only the current frame is written back
         data, state, handles = extract_pose_problem(
-            frame, self.last_frame, m.map_points, self.rig
+            frame, self.last_frame, m.map_points, self.rig, fix_prev=False
         )
         out_m = np.zeros(handles["Nm"], bool)
         out_s = np.zeros(handles["Ns"], bool)
@@ -741,66 +770,92 @@ class Tracking:
     # ------------------------------------------------------------------
     def _relocalize(self, frame: Frame) -> bool:
         """Relocalization: KF-database candidates -> descriptor matching ->
-        batched MLPnP RANSAC on the stereo camera (the reference declares
-        this path but ships it stubbed; see SURVEY.md §2.5/§5)."""
+        batched MLPnP RANSAC, tried on EVERY camera of the rig (the
+        reference declares this path but ships it stubbed; see SURVEY.md
+        §2.5/§5). Async cameras matter when only they see known structure —
+        a viewpoint the stereo pair has turned away from. The recovered
+        camera pose maps back to the body through that camera's extrinsic
+        (async-camera timestamp offset within the frame is accepted as
+        relocalization seed error; the next pose solve absorbs it)."""
         if self.kfdb is None:
             return False
-        from ..ransac.mlpnp import PnPRansacData, pnp_ransac
-        import jax.numpy as jnp
 
         m = self.atlas.active
-        cam = self.rig.n_cams - 1
-        K = self.rig.K[cam]
         cands = self.kfdb.detect_relocalization_candidates(
             _FrameAsKF(frame), 3
-        ) if frame.descriptors[cam] is not None else []
+        ) if any(d is not None for d in frame.descriptors) else []
         for cand in cands:
-            # match frame's stereo-cam descriptors against candidate's points
             mp_ids = [int(i) for i in cand.matches if i >= 0]
             mps = [m.map_points[i] for i in set(mp_ids) if i in m.map_points]
             mps = [mp for mp in mps if not mp.bad and mp.descriptor is not None]
-            if len(mps) < 12 or len(frame.keypoints[cam]) < 12:
+            if len(mps) < 12:
                 continue
             desc_mp = np.stack([mp.descriptor for mp in mps])
-            idx = matcher.match_descriptors(desc_mp, frame.descriptors[cam])
-            pts, obs = [], []
-            for mi, ki in enumerate(idx):
-                if ki >= 0:
-                    pts.append(mps[mi].position)
-                    obs.append(frame.keypoints[cam][int(ki)])
-            if len(pts) < 12:
-                continue
-            pts = np.stack(pts)
-            obs = np.stack(obs)
-            bear = np.concatenate(
-                [(obs[:, :1] - K[2]) / K[0], (obs[:, 1:] - K[3]) / K[1],
-                 np.ones((len(obs), 1))], axis=1)
-            bear /= np.linalg.norm(bear, axis=1, keepdims=True)
-            n = len(pts)
-            data = PnPRansacData(
-                points=jnp.asarray(pts, jnp.float64),
-                bearings=jnp.asarray(bear, jnp.float64),
-                obs=jnp.asarray(obs, jnp.float64),
-                K=jnp.asarray(K, jnp.float64),
-                w=jnp.ones(n, jnp.float64),
-                valid=jnp.ones(n, bool),
-                th2=jnp.full(n, 9.21, jnp.float64),
-            )
-            H = 32
-            samples = np.stack([
-                self._rng.choice(n, 6, replace=False) for _ in range(H)
-            ])
-            (R, t), inl, n_in = pnp_ransac(data, jnp.asarray(samples, jnp.int32))
-            if int(n_in) >= max(15, n // 3):
-                Tcw = np.eye(4)
-                Tcw[:3, :3] = np.asarray(R)
-                Tcw[:3, 3] = np.asarray(t)
+            best = None  # (n_in, cam, Tcw)
+            for cam in range(self.rig.n_cams):
+                if len(frame.keypoints[cam]) < 12:
+                    continue
+                idx = matcher.match_descriptors(desc_mp, frame.descriptors[cam])
+                sel = idx >= 0
+                if sel.sum() < 12:
+                    continue
+                pts = np.stack([mps[mi].position for mi in np.nonzero(sel)[0]])
+                obs = frame.keypoints[cam][idx[sel]]
+                res = self._pnp_camera(pts, obs, self.rig.K[cam])
+                if res is None:
+                    continue
+                Tcw, n_in = res
+                if n_in >= max(15, len(pts) // 3) and (
+                    best is None or n_in > best[0]
+                ):
+                    best = (n_in, cam, Tcw)
+            if best is not None:
+                _, cam, Tcw = best
                 Twc = np.linalg.inv(Tcw)
                 frame.Twb = Twc @ np.linalg.inv(self.rig.Tbc[cam])
                 frame.velocity = np.zeros(6)
                 self.velocity_model = np.zeros(6)
                 return True
         return False
+
+    def _pnp_camera(self, pts: np.ndarray, obs: np.ndarray, K: np.ndarray):
+        """MLPnP RANSAC for one camera's 2D-3D set. Counts are pow2-bucketed
+        (valid-masked padding) so repeated relocalization attempts at
+        different match counts reuse one compiled program per bucket."""
+        from ..pipeline.extraction import _hw_bucket
+        from ..ransac.mlpnp import PnPRansacData, pnp_ransac
+        import jax.numpy as jnp
+
+        n = len(pts)
+        N = _hw_bucket("reloc.N", n)
+        bear = np.concatenate(
+            [(obs[:, :1] - K[2]) / K[0], (obs[:, 1:] - K[3]) / K[1],
+             np.ones((len(obs), 1))], axis=1)
+        bear /= np.linalg.norm(bear, axis=1, keepdims=True)
+        # pad with a well-posed dummy ray (principal axis, point 5 m ahead)
+        pts_p = np.concatenate([pts, np.tile([0.0, 0.0, 5.0], (N - n, 1))])
+        obs_p = np.concatenate([obs, np.tile([K[2], K[3]], (N - n, 1))])
+        bear_p = np.concatenate([bear, np.tile([0.0, 0.0, 1.0], (N - n, 1))])
+        data = PnPRansacData(
+            points=jnp.asarray(pts_p, jnp.float64),
+            bearings=jnp.asarray(bear_p, jnp.float64),
+            obs=jnp.asarray(obs_p, jnp.float64),
+            K=jnp.asarray(K, jnp.float64),
+            w=jnp.ones(N, jnp.float64),
+            valid=jnp.asarray(np.arange(N) < n),
+            th2=jnp.full(N, 9.21, jnp.float64),
+        )
+        H = 32
+        samples = np.stack([
+            self._rng.choice(n, 6, replace=False) for _ in range(H)
+        ])
+        (R, t), inl, n_in = pnp_ransac(data, jnp.asarray(samples, jnp.int32))
+        if not np.isfinite(np.asarray(t)).all():
+            return None
+        Tcw = np.eye(4)
+        Tcw[:3, :3] = np.asarray(R)
+        Tcw[:3, 3] = np.asarray(t)
+        return Tcw, int(n_in)
 
     def _add_gp_observations(self, frame: Frame):
         """Attach this (non-keyframe) frame's inlier matches as GPObs records
