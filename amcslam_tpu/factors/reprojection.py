@@ -328,3 +328,92 @@ def stereo_gp_residual_jac_packed(pack, T1, v1, t1, t2, t, Tbc, K, bf, Xw, obs):
     J1, J2 = _gp_jac_from_M(M, J1cam, Ad_dT, pack, coeffs)
     J_point = -smm(smm(pj, Rcb), Twb[:3, :3].T)
     return r, J1, J2, J_point, Xc
+
+
+# ---------------------------------------------------------------------------
+# Interp packs: per-(pose-pair, timestamp) hoisting
+# ---------------------------------------------------------------------------
+# Every GP edge whose observation was triggered at the same camera timestamp
+# shares the ENTIRE interpolation chain: the expensive per-edge work of the
+# packed path (exp_se3, adj, the Barfoot right Jacobian with its Q block) is
+# a function of (pose pair, t) only, never of the landmark.  The pose
+# Jacobians factor exactly as  [J1 | J2] = J1cam @ Q  with J1cam the (2,6)
+# per-edge camera chain and Q a per-(pair,t) (6,24) matrix, so hundreds of
+# features from one camera trigger reuse one chain evaluation.  Async
+# cameras fire at fixed per-camera phases (System.cc:213-218, Frame.cc:200),
+# so real windows have O(K * C) unique (pair, t) combos vs O(10^4) edges.
+
+
+@exact
+def gp_interp_pack(pack, T1, v1, t1, t2, t):
+    """Per-(pose-pair, timestamp) interpolation pack.
+
+    Returns {"Twb", "Tbw", "Q"} where Twb is the GP-interpolated body pose
+    at t and Q (6,24) is the right factor of the pose Jacobians:
+    J1 = J1cam @ Q[:, :12], J2 = J1cam @ Q[:, 12:24] — algebraically
+    identical to mono_gp_residual_jac_packed's chain (G2oTypes.cc:177-223).
+    """
+    _, a12, p11, p12 = gp.interp_coeffs(t1, t2, t)
+    dxi = a12 * v1 + p11 * pack["xi12"] + p12 * pack["nu2"]
+    dT = lie.exp_se3(dxi)
+    Twb = smm(T1, dT)
+    Ad_dT = lie.adj_se3(lie.se3_inv(dT))
+    Jr_dxi = lie.right_jacobian_pose3(dxi)
+    Q1 = smm(Jr_dxi, p11 * pack["A1"] + p12 * pack["B1"]) + Ad_dT
+    Q2 = a12 * Jr_dxi
+    Q3 = smm(Jr_dxi, p11 * pack["Jr_inv"] + p12 * pack["B2"])
+    Q4 = p12 * smm(Jr_dxi, pack["Jr_inv"])
+    Q = jnp.concatenate([Q1, Q2, Q3, Q4], axis=1)
+    return {"Twb": Twb, "Tbw": lie.se3_inv(Twb), "Q": Q}
+
+
+@exact
+def mono_gp_residual_jac_interp(ip, Tbc, K, Xw, obs):
+    """EdgeMonoGP[Extrinsic] from an interp pack: per-edge work is one point
+    transform + projection + a (2,6)@(6,24) contraction."""
+    dtype = Xw.dtype
+    Tcb = lie.se3_inv(Tbc)
+    Rcb = Tcb[:3, :3]
+    Xb = lie.transform_point(ip["Tbw"], Xw)
+    Xc = lie.transform_point(Tcb, Xb)
+    r = obs - project_pinhole(K, Xc)
+    pj = project_jac_pinhole(K, Xc)
+    J1cam = -smm(pj, _se3_deriv(Rcb, Xb))
+    J12 = smm(J1cam, ip["Q"])  # (2,24)
+    J1, J2 = J12[:, :12], J12[:, 12:]
+    J_point = -smm(smm(pj, Rcb), ip["Twb"][:3, :3].T)
+    J_ext = -smm(
+        pj, jnp.concatenate([-jnp.eye(3, dtype=dtype), lie.hat(Xc)], axis=1)
+    )
+    return r, J1, J2, J_point, J_ext, Xc
+
+
+@exact
+def stereo_gp_residual_jac_interp(ip, Tbc, K, bf, Xw, obs):
+    """EdgeStereoGP from an interp pack."""
+    Tcb = lie.se3_inv(Tbc)
+    Rcb = Tcb[:3, :3]
+    Xb = lie.transform_point(ip["Tbw"], Xw)
+    Xc = lie.transform_point(Tcb, Xb)
+    r = obs - project_stereo(K, bf, Xc)
+    pj = project_jac_stereo(K, bf, Xc)
+    J1cam = -smm(pj, _se3_deriv(Rcb, Xb))
+    J12 = smm(J1cam, ip["Q"])  # (3,24)
+    J1, J2 = J12[:, :12], J12[:, 12:]
+    J_point = -smm(smm(pj, Rcb), ip["Twb"][:3, :3].T)
+    return r, J1, J2, J_point, Xc
+
+
+@exact
+def mono_gp_residual_interp(Tbw, Tbc, K, Xw, obs):
+    """Residual-only mono-GP from a gathered interpolated pose inverse."""
+    Xb = lie.transform_point(Tbw, Xw)
+    Xc = lie.transform_point(lie.se3_inv(Tbc), Xb)
+    return obs - project_pinhole(K, Xc)
+
+
+@exact
+def stereo_gp_residual_interp(Tbw, Tbc, K, bf, Xw, obs):
+    Xb = lie.transform_point(Tbw, Xw)
+    Xc = lie.transform_point(lie.se3_inv(Tbc), Xb)
+    return obs - project_stereo(K, bf, Xc)

@@ -86,15 +86,20 @@ def shard_ba_data(data: LocalBAData, state: BAState, n_shards: int) -> ShardedBA
             lblocks.append(_pad_to(local[m], per))
         return outs, np.concatenate(vblocks), np.concatenate(lblocks)
 
+    has_it = data.mg_it is not None
+    zero_mg_it = np.zeros(len(np.asarray(data.mg_lm)), np.int32)
+    zero_sg_it = np.zeros(len(np.asarray(data.sg_lm)), np.int32)
     (mg_arrs, mg_valid, mg_lm) = shard_edges(
         data.mg_lm,
         [data.mg_pair, data.mg_cam, data.mg_t, data.mg_obs, data.mg_w,
-         data.mg_close, data.mg_sid],
+         data.mg_close, data.mg_sid,
+         data.mg_it if has_it else zero_mg_it],
         data.mg_valid,
     )
     (sg_arrs, sg_valid, sg_lm) = shard_edges(
         data.sg_lm,
-        [data.sg_pair, data.sg_t, data.sg_obs, data.sg_w, data.sg_sid],
+        [data.sg_pair, data.sg_t, data.sg_obs, data.sg_w, data.sg_sid,
+         data.sg_it if data.sg_it is not None else zero_sg_it],
         data.sg_valid,
     )
     (st_arrs, st_valid, st_lm) = shard_edges(
@@ -140,6 +145,16 @@ def shard_ba_data(data: LocalBAData, state: BAState, n_shards: int) -> ShardedBA
         st_close=jnp.asarray(st_arrs[4]),
         st_valid=jnp.asarray(st_valid),
         st_lm=jnp.asarray(st_lm, jnp.int32),
+        # interp-combo tables: per-edge index shards with the edges, the
+        # (small) combo tables replicate; padded edge rows point at the
+        # dump combo 0, whose outputs the masks kill.
+        mg_it=jnp.asarray(mg_arrs[7], jnp.int32) if has_it else None,
+        mg_it_sid=data.mg_it_sid if has_it else None,
+        mg_it_t=data.mg_it_t if has_it else None,
+        sg_it=(jnp.asarray(sg_arrs[5], jnp.int32)
+               if data.sg_it is not None else None),
+        sg_it_sid=data.sg_it_sid,
+        sg_it_t=data.sg_it_t,
     )
     # Per-shard landmark gather tables: each shard's edge arrays are equal
     # contiguous blocks with LOCAL landmark ids, so tables must be rebuilt
@@ -190,7 +205,9 @@ def _shard_fields(n_shards):
     """Which LocalBAData fields are sharded along their leading axis."""
     return {
         "mg_pair", "mg_lm", "mg_cam", "mg_t", "mg_obs", "mg_w", "mg_valid",
-        "mg_close", "mg_sid", "sg_pair", "sg_lm", "sg_t", "sg_obs", "sg_w", "sg_valid", "sg_sid",
+        "mg_close", "mg_sid", "mg_it",
+        "sg_pair", "sg_lm", "sg_t", "sg_obs", "sg_w", "sg_valid", "sg_sid",
+        "sg_it",
         "st_pose", "st_lm", "st_obs", "st_w", "st_valid", "st_is_stereo",
         "st_close",
         "lm_blk", "lm_blk_g", "lm_blk_valid", "lm_edge", "lm_edge_valid",
@@ -213,7 +230,8 @@ def make_sharded_ba_problem(mesh: Mesh, sb: ShardedBA, huber_on=True) -> LMProbl
 
     data_specs = LocalBAData(
         **{
-            f: (P(axis) if f in shard_set else P())
+            f: (None if getattr(data, f) is None
+                else (P(axis) if f in shard_set else P()))
             for f in LocalBAData._fields
         }
     )

@@ -279,6 +279,24 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
         _pad(sg_a[:, :2], Eg), None,
         _pad(np.ones(len(sg), bool), Eg, False), K, Cx,
     )
+    # interp-combo tables: async cameras fire at fixed phases, so the window
+    # has O(K*C) unique (pair, cam-timestamp) combos; the GP chain is
+    # evaluated once per combo instead of once per edge. Combo counts are
+    # high-water bucketed like every other per-window shape.
+    from ..solver.ba import build_interp_tables
+
+    mg_it, mg_it_sid, mg_it_t = build_interp_tables(
+        mg_sid, _pad(mg_a[:, 4] if mg_a.size else np.zeros(0), Em),
+        _pad(np.ones(len(mg), bool), Em, False),
+    )
+    sg_it, sg_it_sid, sg_it_t = build_interp_tables(
+        sg_sid, _pad(sg_a[:, 3] if sg_a.size else np.zeros(0), Eg),
+        _pad(np.ones(len(sg), bool), Eg, False),
+    )
+    Um = _hw_bucket("lba.Um", len(mg_it_sid), minimum=16)
+    Ug = _hw_bucket("lba.Ug", len(sg_it_sid), minimum=16)
+    mg_it_sid, mg_it_t = _pad(mg_it_sid, Um), _pad(mg_it_t, Um)
+    sg_it_sid, sg_it_t = _pad(sg_it_sid, Ug), _pad(sg_it_t, Ug)
     data = LocalBAData(
         times=jnp.asarray(times, dtype),
         pose_fixed=jnp.asarray(pose_fixed),
@@ -320,6 +338,12 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
         st_valid=jnp.asarray(_pad(np.ones(len(st), bool), Es, False)),
         st_is_stereo=jnp.asarray(_pad(st_a[:, 6] if st_a.size else np.zeros(0), Es).astype(bool)),
         st_close=jnp.asarray(_pad(np.asarray(st_close, bool), Es, False)),
+        mg_it=jnp.asarray(mg_it),
+        mg_it_sid=jnp.asarray(mg_it_sid),
+        mg_it_t=jnp.asarray(mg_it_t, dtype),
+        sg_it=jnp.asarray(sg_it),
+        sg_it_sid=jnp.asarray(sg_it_sid),
+        sg_it_t=jnp.asarray(sg_it_t, dtype),
     )
 
     L = _hw_bucket("lba.L", max(len(lms), 1), minimum=64, factor=4)
@@ -480,6 +504,11 @@ def extract_pose_problem(
         st_valid=jnp.asarray(_pad(np.ones(len(st), bool), Ns, False)),
         st_is_stereo=jnp.asarray(_pad(st_a[:, 7] if st_a.size else np.zeros(0), Ns).astype(bool)),
         st_close=jnp.asarray(_pad(st_a[:, 8] if st_a.size else np.zeros(0), Ns).astype(bool)),
+        # every async camera fires once per frame: its features all share
+        # cam_times[cam], so the interp table is just the camera-time array
+        mg_it=jnp.asarray(_pad(mg_a[:, 4] if mg_a.size else np.zeros(0), Nm),
+                          jnp.int32),
+        it_t=jnp.asarray(np.asarray(frame.cam_times, np.float64), dtype),
     )
     state = PoseState(
         T=jnp.asarray(np.stack([prev_frame.Twb, frame.Twb]), dtype),

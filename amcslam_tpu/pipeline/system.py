@@ -12,6 +12,7 @@ Python bookkeeping.
 from __future__ import annotations
 
 import hashlib
+import os as _os
 import pickle
 import threading
 from dataclasses import dataclass
@@ -53,6 +54,25 @@ class System:
         )
         self.threaded = threaded
         self._stop = False
+        # Long CPU-backend runs accumulate one compiled executable per
+        # program shape; each holds several mmap regions and the default
+        # vm.max_map_count kills multi-hundred-compile runs ("Cannot
+        # allocate memory" from LLVM with free RAM).  Dropping the live
+        # executables every N keyframes bounds the map count; the
+        # persistent compilation cache makes the re-loads cheap.  TPU
+        # backends don't JIT host code and never need this (0 = off).
+        self.clear_caches_every = int(
+            _os.environ.get("AMCSLAM_CLEAR_CACHES_EVERY", "0") or 0
+        )
+        if self.clear_caches_every == 0:
+            try:
+                import jax
+
+                if jax.default_backend() == "cpu":
+                    self.clear_caches_every = 24
+            except Exception:
+                pass
+        self._kf_at_last_clear = 0
         if threaded:
             self._worker = threading.Thread(target=self._background, daemon=True)
             self._worker.start()
@@ -72,7 +92,18 @@ class System:
             if self.loop_closer is not None:
                 while self.loop_closer.run_once():
                     pass
+            self._maybe_clear_caches()
         return state
+
+    def _maybe_clear_caches(self):
+        if self.clear_caches_every <= 0:
+            return
+        n_kf = len(self.atlas.active.keyframes)
+        if n_kf - self._kf_at_last_clear >= self.clear_caches_every:
+            import jax
+
+            jax.clear_caches()
+            self._kf_at_last_clear = n_kf
 
     def _background(self):
         import time

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..factors import gp_prior, priors, reprojection
-from ..ops import lie
+from ..ops import gp, lie
 from . import robust
 from .lm import LMProblem, lm_optimize
 
@@ -103,6 +103,16 @@ class LocalBAData(NamedTuple):
     lm_blk_valid: jax.Array | None = None  # (L,D) bool
     lm_edge: jax.Array | None = None       # (L,De) int32 into [mono|sg|st]
     lm_edge_valid: jax.Array | None = None  # (L,De) bool
+    # --- optional interp-combo tables (build_interp_tables): per-edge index
+    # into the unique (structure, timestamp) set, hoisting the whole GP
+    # interpolation chain out of the per-edge evaluation (async cameras fire
+    # at fixed phases, so U << E in real windows). None -> per-edge chains.
+    mg_it: jax.Array | None = None       # (Em,) int32 combo index
+    mg_it_sid: jax.Array | None = None   # (Um,) int32 structure per combo
+    mg_it_t: jax.Array | None = None     # (Um,) timestamp per combo
+    sg_it: jax.Array | None = None       # (Eg,) int32
+    sg_it_sid: jax.Array | None = None   # (Ug,) int32
+    sg_it_t: jax.Array | None = None     # (Ug,)
 
     @property
     def n_poses(self):
@@ -150,7 +160,41 @@ def _pair_packs(data: LocalBAData, state: BAState, sid_cols):
     )(i_s, j_s)
 
 
+def _interp_packs(data: LocalBAData, state: BAState, sid_cols, it_sid, it_t):
+    """Per-(structure, timestamp) interp packs: pair packs computed per
+    structure (~K of them), interpolation chains per unique combo (~K*C),
+    gathered per edge by the caller."""
+    packs = jax.vmap(
+        lambda i, j: reprojection.gp_pair_pack(
+            state.T[i], state.v[i], state.T[j], state.v[j]
+        )
+    )(sid_cols[:, 0] // 12, sid_cols[:, 12] // 12)
+    i_u = sid_cols[it_sid, 0] // 12
+    j_u = sid_cols[it_sid, 12] // 12
+    # dump combo (structure 0) has i == j -> dt = 0; keep its pack finite
+    # (outputs of the edges that gather it are where-masked anyway)
+    j_u = jnp.where(j_u == i_u, jnp.minimum(i_u + 1, data.n_poses - 1), j_u)
+    pack_u = jax.tree.map(lambda a: a[it_sid], packs)
+    return jax.vmap(reprojection.gp_interp_pack)(
+        pack_u, state.T[i_u], state.v[i_u],
+        data.times[i_u], data.times[j_u], it_t,
+    )
+
+
 def _mono_gp_eval(data: LocalBAData, state: BAState):
+    if data.mg_it is not None:
+        ips = _interp_packs(
+            data, state, data.mg_sid_cols, data.mg_it_sid, data.mg_it_t
+        )
+        ip_e = jax.tree.map(lambda a: a[data.mg_it], ips)
+
+        def one(ip, lm, cam, obs):
+            return reprojection.mono_gp_residual_jac_interp(
+                ip, state.Text[cam], data.K_async[cam], state.X[lm], obs
+            )
+
+        return jax.vmap(one)(ip_e, data.mg_lm, data.mg_cam, data.mg_obs)
+
     packs = _pair_packs(data, state, data.mg_sid_cols)
     pack_e = jax.tree.map(lambda a: a[data.mg_sid], packs)
 
@@ -167,6 +211,19 @@ def _mono_gp_eval(data: LocalBAData, state: BAState):
 
 
 def _stereo_gp_eval(data: LocalBAData, state: BAState):
+    if data.sg_it is not None:
+        ips = _interp_packs(
+            data, state, data.sg_sid_cols, data.sg_it_sid, data.sg_it_t
+        )
+        ip_e = jax.tree.map(lambda a: a[data.sg_it], ips)
+
+        def one(ip, lm, obs):
+            return reprojection.stereo_gp_residual_jac_interp(
+                ip, data.Tbc_stereo, data.K_stereo, data.bf, state.X[lm], obs
+            )
+
+        return jax.vmap(one)(ip_e, data.sg_lm, data.sg_obs)
+
     packs = _pair_packs(data, state, data.sg_sid_cols)
     pack_e = jax.tree.map(lambda a: a[data.sg_sid], packs)
 
@@ -206,9 +263,40 @@ def _gp_chain_eval(data: LocalBAData, state: BAState):
 
 
 
+def _interp_poses(data: LocalBAData, state: BAState, sid_cols, it_sid, it_t):
+    """Residual-path variant of _interp_packs: only the interpolated pose
+    inverse per unique (structure, timestamp) combo (no Jacobian factor)."""
+    i_s = sid_cols[:, 0] // 12
+    j_s = sid_cols[:, 12] // 12
+    i_u, j_u = i_s[it_sid], j_s[it_sid]
+    j_u = jnp.where(j_u == i_u, jnp.minimum(i_u + 1, data.n_poses - 1), j_u)
+    eye = jnp.eye(6, dtype=state.T.dtype)
+
+    def one(i, j, t):
+        Twb, _ = gp.query_pose_aux(
+            state.T[i], state.T[j], state.v[i], state.v[j],
+            data.times[i], data.times[j], t, eye, eye,
+        )
+        return lie.se3_inv(Twb)
+
+    return jax.vmap(one)(i_u, j_u, it_t)
+
+
 def _mono_gp_residuals(data: LocalBAData, state: BAState):
     """Residual-only async-camera GP evaluation (chi2 path — avoids building
     the Jacobian chains XLA may not fully DCE through vmap)."""
+    if data.mg_it is not None:
+        Tbw_u = _interp_poses(
+            data, state, data.mg_sid_cols, data.mg_it_sid, data.mg_it_t
+        )
+        Tbw_e = Tbw_u[data.mg_it]
+
+        def one(Tbw, lm, cam, obs):
+            return reprojection.mono_gp_residual_interp(
+                Tbw, state.Text[cam], data.K_async[cam], state.X[lm], obs
+            )
+
+        return jax.vmap(one)(Tbw_e, data.mg_lm, data.mg_cam, data.mg_obs)
 
     def one(pair, lm, cam, t, obs):
         i, j = pair[0], pair[1]
@@ -223,6 +311,20 @@ def _mono_gp_residuals(data: LocalBAData, state: BAState):
 
 
 def _stereo_gp_residuals(data: LocalBAData, state: BAState):
+    if data.sg_it is not None:
+        Tbw_u = _interp_poses(
+            data, state, data.sg_sid_cols, data.sg_it_sid, data.sg_it_t
+        )
+        Tbw_e = Tbw_u[data.sg_it]
+
+        def one(Tbw, lm, obs):
+            return reprojection.stereo_gp_residual_interp(
+                Tbw, data.Tbc_stereo, data.K_stereo, data.bf,
+                state.X[lm], obs,
+            )
+
+        return jax.vmap(one)(Tbw_e, data.sg_lm, data.sg_obs)
+
     def one(pair, lm, t, obs):
         i, j = pair[0], pair[1]
         eye = jnp.eye(6, dtype=state.T.dtype)
@@ -1202,6 +1304,50 @@ def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
     # dump structure (index 0) carries zero blocks; its columns are 0..w-1
     # but contribute nothing (zero values)
     return inv.astype(_np.int32), cols
+
+
+def build_interp_tables(sid, t, valid, pad_to: int | None = None):
+    """Host-side: unique (structure id, timestamp) combo table for the
+    interp-pack fast path (LocalBAData.mg_it/mg_it_sid/mg_it_t and sg_*).
+
+    Async cameras fire at fixed per-camera phases (Frame.cc:200-207), so the
+    edges of one window share O(K*C) distinct interpolation timestamps; the
+    whole GP chain is evaluated once per combo and gathered per edge.
+    Invalid/padded edges map to combo 0, whose pack may be non-finite (dump
+    structure has i==j) — consumers must where-mask those edges' outputs,
+    which linearize/chi2 already do.
+
+    Returns (it (E,) int32, it_sid (U,) int32, it_t (U,) float64) with U
+    padded to `pad_to` (>= observed U) when given, else to the next pow2.
+    """
+    import numpy as _np
+
+    sid = _np.asarray(sid, _np.int64)
+    t = _np.asarray(t, _np.float64)
+    valid = _np.asarray(valid, bool)
+    E = sid.shape[0]
+    if E == 0:
+        U = pad_to or 1
+        return (_np.zeros(0, _np.int32), _np.zeros(U, _np.int32),
+                _np.zeros(U, _np.float64))
+    # key on (sid, exact time bits); invalid edges -> dump combo 0
+    key_t = t.view(_np.int64)
+    v_sid = _np.where(valid, sid, -1)
+    rows = _np.stack([v_sid, _np.where(valid, key_t, 0)], axis=1)
+    uniq, inv = _np.unique(rows, axis=0, return_inverse=True)
+    has_dump = uniq[0, 0] == -1
+    if not has_dump:
+        uniq = _np.concatenate([_np.array([[-1, 0]], _np.int64), uniq])
+        inv = inv + 1
+    U_real = len(uniq)
+    U = pad_to if pad_to is not None else _bucket_pow2(U_real)
+    if U < U_real:
+        raise ValueError(f"pad_to={pad_to} < observed combos {U_real}")
+    it_sid = _np.zeros(U, _np.int32)
+    it_t = _np.zeros(U, _np.float64)
+    it_sid[1:U_real] = uniq[1:, 0].astype(_np.int32)
+    it_t[1:U_real] = _np.ascontiguousarray(uniq[1:, 1]).view(_np.float64)
+    return inv.astype(_np.int32), it_sid, it_t
 
 
 def _bucket_pow2(n: int, minimum: int = 4) -> int:

@@ -69,6 +69,11 @@ class PoseGPData(NamedTuple):
     st_valid: jax.Array          # (Ns,) bool
     st_is_stereo: jax.Array      # (Ns,) bool (ur >= 0)
     st_close: jax.Array          # (Ns,) bool
+    # optional interp-combo table: every async camera fires once per frame
+    # (Frame.cc:200-207), so all its features share one interpolation time —
+    # the GP chain is evaluated once per unique time and gathered per edge.
+    mg_it: jax.Array | None = None   # (Nm,) int32 index into it_t
+    it_t: jax.Array | None = None    # (U,) unique interpolation times
 
 
 class PoseState(NamedTuple):
@@ -78,6 +83,27 @@ class PoseState(NamedTuple):
 
 def _mono_gp_all(data: PoseGPData, state: PoseState):
     """vmapped residual+jacobians of all async-camera GP edges."""
+    if data.mg_it is not None:
+        pack = reprojection.gp_pair_pack(
+            state.T[0], state.v[0], state.T[1], state.v[1]
+        )
+        ips = jax.vmap(
+            lambda t: reprojection.gp_interp_pack(
+                pack, state.T[0], state.v[0], data.t_prev, data.t_cur, t
+            )
+        )(data.it_t)
+        ip_e = jax.tree.map(lambda a: a[data.mg_it], ips)
+
+        def one_it(ip, obs, Xw, cam):
+            r, J1, J2, _, _, Xc = reprojection.mono_gp_residual_jac_interp(
+                ip, data.Tbc[cam], data.K[cam], Xw, obs
+            )
+            return r, J1, J2, Xc
+
+        r, J1, J2, Xc = jax.vmap(one_it)(
+            ip_e, data.mg_obs, data.mg_Xw, data.mg_cam
+        )
+        return r, J1, J2, Xc[:, 2]
 
     def one(obs, Xw, t, cam):
         return reprojection.mono_gp_residual_jac(

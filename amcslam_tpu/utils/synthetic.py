@@ -164,6 +164,8 @@ def make_local_ba_problem(
     noise_px=0.5,
     seed=0,
     dtype=jnp.float64,
+    shared_times=True,
+    frames_per_interval=4,
 ):
     """A LocalGPBA-shaped problem instance (Optimizer.cc:713-1432 topology).
 
@@ -173,6 +175,13 @@ def make_local_ba_problem(
       - stereo camera -> stereo/mono obs at KF timestamps
       - optional non-KF GP stereo observations
     Returns (data: LocalBAData, state0: BAState perturbed, gt: BAState).
+
+    shared_times=True models the real sensor rig: async cameras fire at
+    fixed per-camera phases within each of `frames_per_interval` frame slots
+    between consecutive KFs (System.cc:213-218, Frame.cc:200-207), so edges
+    share interpolation timestamps and the interp-combo fast path applies.
+    shared_times=False draws a distinct uniform-random time per observation
+    (adversarial worst case: every edge its own GP chain).
     """
     from ..solver.ba import BAState, LocalBAData
 
@@ -252,7 +261,14 @@ def make_local_ba_problem(
     rep, kk = rep[okm], kk[okm]
     M = rep.size
     cc = rng.randint(0, n_cams - 1, M)
-    tt = times[kk - 1] + 0.05 + rng.rand(M) * (times[kk] - times[kk - 1] - 0.1)
+    if shared_times:
+        # fixed per-camera phase within one of F frame slots per interval
+        F = frames_per_interval
+        slot = rng.randint(0, F, M)
+        phase = (cc + 1.0) / n_cams
+        tt = times[kk - 1] + ((slot + phase) / F) * (times[kk] - times[kk - 1])
+    else:
+        tt = times[kk - 1] + 0.05 + rng.rand(M) * (times[kk] - times[kk - 1] - 0.1)
     # batched exp_se3 via Rodrigues for the intra-interval pose
     xi = vs[kk - 1] * (tt - times[kk - 1])[:, None]
     rho, om = xi[:, :3], xi[:, 3:]
@@ -305,7 +321,7 @@ def make_local_ba_problem(
     Cx = n_cams - 1
     pose_fixed = np.arange(n_kf) < n_fixed
 
-    from ..solver.ba import make_structure_ids
+    from ..solver.ba import build_interp_tables, make_structure_ids
 
     mg_pairs_np = mg[:, :2].astype(np.int64) if Em else np.zeros((0, 2), np.int64)
     mg_cams_np = mg[:, 3].astype(np.int64) if Em else np.zeros(0, np.int64)
@@ -314,6 +330,13 @@ def make_local_ba_problem(
     )
     sg_sid, sg_sid_cols = make_structure_ids(
         np.zeros((0, 2), np.int64), None, np.zeros(0, bool), n_kf, Cx
+    )
+    mg_t_np = mg[:, 4] if Em else np.zeros(0)
+    mg_it, mg_it_sid, mg_it_t = build_interp_tables(
+        mg_sid, mg_t_np, np.ones(Em, bool)
+    )
+    sg_it, sg_it_sid, sg_it_t = build_interp_tables(
+        np.zeros(0, np.int32), np.zeros(0), np.zeros(0, bool)
     )
     data = LocalBAData(
         times=jnp.asarray(times, dtype),
@@ -356,6 +379,12 @@ def make_local_ba_problem(
         st_valid=jnp.ones(Es, bool),
         st_is_stereo=jnp.asarray(st[:, 5] > 0.5) if Es else jnp.zeros(0, bool),
         st_close=jnp.zeros(Es, bool),
+        mg_it=jnp.asarray(mg_it),
+        mg_it_sid=jnp.asarray(mg_it_sid),
+        mg_it_t=jnp.asarray(mg_it_t, dtype),
+        sg_it=jnp.asarray(sg_it),
+        sg_it_sid=jnp.asarray(sg_it_sid),
+        sg_it_t=jnp.asarray(sg_it_t, dtype),
     )
     from ..solver.ba import with_landmark_tables
 

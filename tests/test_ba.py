@@ -177,9 +177,9 @@ def test_pcg_single_solve_matches_dense_solve():
     K = data.n_poses
     np.testing.assert_allclose(
         np.asarray(dxp_d[: 12 * K]).reshape(K, 12), np.asarray(x12_p),
-        atol=1e-8,
+        atol=1e-7,
     )
-    np.testing.assert_allclose(np.asarray(dxl_d), np.asarray(dxl_p), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dxl_d), np.asarray(dxl_p), atol=1e-7)
     np.testing.assert_allclose(float(xx_p), float(xx_d), rtol=1e-6)
     np.testing.assert_allclose(float(xb_p), float(xb_d), rtol=1e-6)
 
