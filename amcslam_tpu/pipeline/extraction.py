@@ -56,6 +56,28 @@ def reset_bucket_high_water():
     _HIGH_WATER.clear()
 
 
+#: serving-size bucket seeds for a full multi-camera run. Seeding the
+#: high-water marks up front means the big solver programs (local BA, pose
+#: solve) compile ONCE at their steady-state shapes instead of stepping
+#: through warmup generations (each step = a fresh 30-60 s XLA:CPU trace+
+#: compile — the dominant cost of a cold run; padded compute is cheap by
+#: comparison). Values cover ~10-KF/50-anchor windows at 500-800 features
+#: per camera; _hw_bucket still grows past them if a window is larger.
+SERVING_BUCKETS = {
+    "lba.K": 64, "lba.Em": 4096, "lba.Eg": 1024, "lba.Es": 16384,
+    "lba.Ng": 64, "lba.Um": 256, "lba.Ug": 64, "lba.Sm": 256, "lba.Sg": 64,
+    "lba.L": 4096, "lba.D": 32, "lba.De": 64,
+    "pose.Nm": 1024, "pose.Ns": 1024,
+}
+
+
+def preset_shape_buckets(preset: "dict[str, int] | None" = None) -> None:
+    """Seed the high-water shape buckets (default: SERVING_BUCKETS) so the
+    jitted solver programs compile once at steady-state shapes."""
+    for k, v in (preset or SERVING_BUCKETS).items():
+        _HIGH_WATER[k] = max(_HIGH_WATER.get(k, 0), v)
+
+
 def _pad(arr, n, fill=0):
     arr = np.asarray(arr)
     if arr.shape[0] >= n:
@@ -279,6 +301,12 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
         _pad(sg_a[:, :2], Eg), None,
         _pad(np.ones(len(sg), bool), Eg, False), K, Cx,
     )
+    # structure counts are data-dependent; pad to high-water so the unique
+    # (pair, cam) combination count never retraces the solver
+    Sm = _hw_bucket("lba.Sm", len(mg_sid_cols), minimum=8)
+    Sg = _hw_bucket("lba.Sg", len(sg_sid_cols), minimum=8)
+    mg_sid_cols = _pad(mg_sid_cols, Sm)
+    sg_sid_cols = _pad(sg_sid_cols, Sg)
     # interp-combo tables: async cameras fire at fixed phases, so the window
     # has O(K*C) unique (pair, cam-timestamp) combos; the GP chain is
     # evaluated once per combo instead of once per edge. Combo counts are
@@ -349,7 +377,13 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
     L = _hw_bucket("lba.L", max(len(lms), 1), minimum=64, factor=4)
     from ..solver.ba import with_landmark_tables
 
-    data = with_landmark_tables(data, L)
+    # per-landmark slot depths are data maxima; high-water them too
+    data = with_landmark_tables(
+        data, L,
+        pad_d=_HIGH_WATER.get("lba.D", 0), pad_de=_HIGH_WATER.get("lba.De", 0),
+    )
+    _hw_bucket("lba.D", data.lm_blk.shape[1], minimum=4)
+    _hw_bucket("lba.De", data.lm_edge.shape[1], minimum=4)
     X = _pad(np.stack([mp.position for mp in lms]) if lms else np.zeros((0, 3)), L)
     T_all = np.stack([k.Twb for k in kfs] + [np.eye(4)] * (K - K_real))
     v_all = np.stack([k.velocity for k in kfs] + [np.zeros(6)] * (K - K_real))

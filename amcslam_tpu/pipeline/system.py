@@ -54,6 +54,15 @@ class System:
         )
         self.threaded = threaded
         self._stop = False
+        # Seed the shape buckets at serving sizes so each jitted solver
+        # program compiles ONCE (steady-state shapes) instead of stepping
+        # through warmup generations as the map grows — each step is a
+        # fresh 30-60 s XLA:CPU trace+compile. Opt out to get tight-fit
+        # shapes (tiny problems on memory-constrained hosts).
+        if not _os.environ.get("AMCSLAM_NO_BUCKET_PRESET"):
+            from .extraction import preset_shape_buckets
+
+            preset_shape_buckets()
         # Long CPU-backend runs accumulate one compiled executable per
         # program shape; each holds several mmap regions and the default
         # vm.max_map_count kills multi-hundred-compile runs ("Cannot
@@ -69,7 +78,7 @@ class System:
                 import jax
 
                 if jax.default_backend() == "cpu":
-                    self.clear_caches_every = 24
+                    self.clear_caches_every = 64
             except Exception:
                 pass
         self._kf_at_last_clear = 0

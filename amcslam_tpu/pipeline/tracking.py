@@ -485,20 +485,26 @@ class Tracking:
 
     def _track_local_map(self, frame: Frame) -> int:
         """Tracking::TrackLocalMap (Tracking.cc:2004-2082)."""
+        from ..utils.timing import GLOBAL_TIMER as T
+
         m = self.atlas.active
-        local_kfs = self._update_local_keyframes(frame)
-        local_points: set[int] = set()
-        for kf_id in local_kfs:
-            kf = m.keyframes.get(kf_id)
-            if kf is None:
-                continue
-            local_points.update(int(i) for i in kf.matches if i >= 0)
-        already = set(int(i) for i in frame.matches if i >= 0)
-        self._search_local_points(frame, local_points - already)
+        with T.span("tlm.update_kfs"):
+            local_kfs = self._update_local_keyframes(frame)
+            local_points: set[int] = set()
+            for kf_id in local_kfs:
+                kf = m.keyframes.get(kf_id)
+                if kf is None:
+                    continue
+                local_points.update(int(i) for i in kf.matches if i >= 0)
+            already = set(int(i) for i in frame.matches if i >= 0)
+        with T.span("tlm.search_points"):
+            self._search_local_points(frame, local_points - already)
 
         # MC-RANSAC over async-camera matches (Tracking.cc:2029, 1939-2002)
-        self._mc_ransac(frame)
-        n = self._pose_solve(frame)
+        with T.span("tlm.mc_ransac"):
+            self._mc_ransac(frame)
+        with T.span("tlm.pose_solve"):
+            n = self._pose_solve(frame)
         # bookkeeping: found counters (IncreaseFound, Tracking.cc:2047-2066)
         for g, mp_id in enumerate(frame.matches):
             if mp_id >= 0 and not frame.outlier[g]:

@@ -1259,12 +1259,15 @@ def global_ba(data: LocalBAData, state: BAState, num_iterations: int = 10):
 
 
 def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
-                       n_poses: int, n_ext: int):
+                       n_poses: int, n_ext: int, pad_to: "int | None" = None):
     """Host-side: compact structure ids + per-structure column tables for
     LocalBAData.mg_sid/mg_sid_cols (and sg_*, with cams=None).
 
     Returns (sid (E,), sid_cols (S, 24 or 30)). Padded/invalid edges map to a
     zero-filled dump structure (their Jacobians are masked to zero anyway).
+    `pad_to` pads S (zero-filled rows = more dump structures, pointing at
+    pose 0 — finite and unused); callers pass a high-water bucket so the
+    structure count does not retrace the solver every window.
     """
     import numpy as _np
 
@@ -1273,7 +1276,8 @@ def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
     valid = _np.asarray(valid, bool)
     width = 30 if cams is not None else 24
     if E == 0:
-        return _np.zeros(0, _np.int32), _np.zeros((1, width), _np.int32)
+        return (_np.zeros(0, _np.int32),
+                _np.zeros((pad_to or 1, width), _np.int32))
     if cams is not None:
         key = (pairs[:, 0] * n_poses + pairs[:, 1]) * n_ext + _np.asarray(cams, _np.int64)
     else:
@@ -1285,7 +1289,8 @@ def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
         uniq = _np.concatenate([[-1], uniq])
         inv = inv + 1
     S = len(uniq)
-    cols = _np.zeros((S, width), _np.int32)
+    S_pad = max(pad_to or 0, S)
+    cols = _np.zeros((S_pad, width), _np.int32)
     for s_i in range(1, S):
         k = uniq[s_i]
         if cams is not None:
@@ -1360,7 +1365,9 @@ def _bucket_pow2(n: int, minimum: int = 4) -> int:
 def make_landmark_tables(mg_lm, mg_pair, mg_cam, mg_valid,
                          sg_lm, sg_pair, sg_valid,
                          st_lm, st_pose, st_valid,
-                         n_lm: int, n_poses: int, n_ext: int):
+                         n_lm: int, n_poses: int, n_ext: int,
+                         pad_d: "int | None" = None,
+                         pad_de: "int | None" = None):
     """Host-side landmark-major gather tables for scatter-free Wt/Hll/bl
     assembly (profiled: TPU scatter-adds cost ~10 ms/iter at 50 KF / 5k pts;
     gathers + one batched matmul replace them).
@@ -1404,14 +1411,17 @@ def make_landmark_tables(mg_lm, mg_pair, mg_cam, mg_valid,
     add(st_lm, st_valid, _np.arange(Es, dtype=_np.int64) + 3 * Em + 2 * Eg,
         st_pose)
 
-    def pack(lms, vals, extra=None):
-        """Group (lms -> vals) into a padded (L, D) table."""
+    def pack(lms, vals, extra=None, pad=None):
+        """Group (lms -> vals) into a padded (L, D) table. `pad` (from a
+        caller-side high-water bucket) keeps D monotonic across windows so
+        the observation-count maximum doesn't retrace the solver."""
         order = _np.argsort(lms, kind="stable")
         s_lm = lms[order]
         s_val = vals[order]
         starts = _np.searchsorted(s_lm, _np.arange(n_lm))
         counts = _np.diff(_np.append(starts, len(s_lm)))
         D = _bucket_pow2(int(counts.max()) if len(counts) else 1)
+        D = max(D, pad or 0)
         pos = _np.arange(len(s_lm)) - starts[s_lm]
         tab = _np.zeros((n_lm, D), _np.int32)
         val = _np.zeros((n_lm, D), bool)
@@ -1427,18 +1437,20 @@ def make_landmark_tables(mg_lm, mg_pair, mg_cam, mg_valid,
     lm_all = _np.concatenate(lm_parts) if lm_parts else _np.zeros(0, _np.int64)
     idx_all = _np.concatenate(idx_parts) if idx_parts else _np.zeros(0, _np.int64)
     g_all = _np.concatenate(g_parts) if g_parts else _np.zeros(0, _np.int64)
-    lm_blk, lm_blk_valid, lm_blk_g = pack(lm_all, idx_all, g_all)
+    lm_blk, lm_blk_valid, lm_blk_g = pack(lm_all, idx_all, g_all, pad=pad_d)
 
     e_lm = _np.concatenate([mg_lm[mg_valid], sg_lm[sg_valid], st_lm[st_valid]])
     e_idx = _np.concatenate(
         [base[mg_valid], baseg[sg_valid] + Em,
          _np.arange(Es, dtype=_np.int64)[st_valid] + Em + Eg]
     )
-    lm_edge, lm_edge_valid, _ = pack(e_lm, e_idx)
+    lm_edge, lm_edge_valid, _ = pack(e_lm, e_idx, pad=pad_de)
     return lm_blk, lm_blk_g, lm_blk_valid, lm_edge, lm_edge_valid
 
 
-def with_landmark_tables(data: LocalBAData, n_lm: int) -> LocalBAData:
+def with_landmark_tables(data: LocalBAData, n_lm: int,
+                         pad_d: "int | None" = None,
+                         pad_de: "int | None" = None) -> LocalBAData:
     """Host-side: attach the landmark-major gather tables to a concrete
     LocalBAData instance (fast scatter-free assembly path)."""
     lm_blk, lm_blk_g, lm_blk_valid, lm_edge, lm_edge_valid = make_landmark_tables(
@@ -1446,6 +1458,7 @@ def with_landmark_tables(data: LocalBAData, n_lm: int) -> LocalBAData:
         data.sg_lm, data.sg_pair, data.sg_valid,
         data.st_lm, data.st_pose, data.st_valid,
         n_lm, data.n_poses, data.n_ext,
+        pad_d=pad_d, pad_de=pad_de,
     )
     return data._replace(
         lm_blk=jnp.asarray(lm_blk),

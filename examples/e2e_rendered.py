@@ -130,7 +130,8 @@ def gt_pose_circle(t: float, period: float = 10.0, radius: float = 1.5):
 
 
 def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
-        circle=False, circle_period=16.0, circle_radius=5.0):
+        circle=False, circle_period=16.0, circle_radius=5.0,
+        n_features=800):
     if circle:
         # loop-closure scenario: a big circle in a big non-repeating box so
         # the far side looks different from the start, odometry drift
@@ -142,9 +143,7 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         planes = make_world(seed)
         pose_fn = gt_pose
     rig = make_rig()
-    extractors = [ORBExtractor(n_features=800) for _ in range(3)] + [
-        ORBExtractor(n_features=800)
-    ]
+    extractors = [ORBExtractor(n_features=n_features) for _ in range(4)]
     cfg = TrackingConfig(max_frames_between_kf=5, min_local_matches=15,
                          ransac_min_match=15)
     slam = System(rig, tracking_config=cfg, threaded=threaded)
@@ -221,9 +220,12 @@ if __name__ == "__main__":
                     help="closed circular trajectory (exercises loop closing)")
     ap.add_argument("--period", type=float, default=16.0)
     ap.add_argument("--radius", type=float, default=5.0)
+    ap.add_argument("--fps", type=float, default=10.0)
+    ap.add_argument("--features", type=int, default=800)
     args = ap.parse_args()
     n = args.frames
     if args.circle and n == 50:
-        n = int(args.period * 10.0) + 20  # one lap + revisit overlap
-    run(n_frames=n, plot=args.plot, circle=args.circle,
-        circle_period=args.period, circle_radius=args.radius)
+        n = int(args.period * args.fps) + int(2 * args.fps)  # lap + revisit
+    run(n_frames=n, fps=args.fps, plot=args.plot, circle=args.circle,
+        circle_period=args.period, circle_radius=args.radius,
+        n_features=args.features)
