@@ -147,6 +147,21 @@ def _inv3x3(A):
     return co / det[..., None, None]
 
 
+def _onehot_gather(idx, n: int, table):
+    """Row-gather from a small table as a one-hot MXU contraction.
+
+    TPU dynamic row gathers move ~1 element/cycle; for per-edge gathers from
+    small tables (poses, interp packs, extrinsics: n <= a few hundred rows)
+    a (E, n) one-hot matmul is ~2.6x faster (measured on v5e at E=34k, n=50)
+    and exact: the 0/1 one-hot rides the package-global HIGHEST matmul
+    precision, so each output row is the selected table row bit-for-bit.
+    Callers keep plain indexing for large tables (landmarks).
+    """
+    oh = (idx[:, None] == jnp.arange(n)).astype(table.dtype)
+    flat = table.reshape(n, -1)
+    return (oh @ flat).reshape(idx.shape[0], *table.shape[1:])
+
+
 def _pair_packs(data: LocalBAData, state: BAState, sid_cols):
     """Per-structure GP pair packs: unique (pose_i, pose_j) chains computed
     once (~K structures) and gathered per edge — see
@@ -182,18 +197,27 @@ def _interp_packs(data: LocalBAData, state: BAState, sid_cols, it_sid, it_t):
 
 
 def _mono_gp_eval(data: LocalBAData, state: BAState):
+    E = data.mg_obs.shape[0]
+    if E == 0:
+        # static-shape early-out: the interp-pack chain alone costs ~1.2 ms
+        # on-chip (hundreds of tiny-kernel launches) even with zero edges
+        z = lambda *s: jnp.zeros(s, data.mg_obs.dtype)  # noqa: E731
+        return z(0, 2), z(0, 2, 12), z(0, 2, 12), z(0, 2, 3), z(0, 2, 6), z(0, 3)
     if data.mg_it is not None:
         ips = _interp_packs(
             data, state, data.mg_sid_cols, data.mg_it_sid, data.mg_it_t
         )
-        ip_e = jax.tree.map(lambda a: a[data.mg_it], ips)
+        IT = data.mg_it_t.shape[0]
+        ip_e = jax.tree.map(lambda a: _onehot_gather(data.mg_it, IT, a), ips)
+        Text_e = _onehot_gather(data.mg_cam, data.n_ext, state.Text)
+        K_e = _onehot_gather(data.mg_cam, data.n_ext, data.K_async)
 
-        def one(ip, lm, cam, obs):
+        def one(ip, Tbc, Kc, lm, obs):
             return reprojection.mono_gp_residual_jac_interp(
-                ip, state.Text[cam], data.K_async[cam], state.X[lm], obs
+                ip, Tbc, Kc, state.X[lm], obs
             )
 
-        return jax.vmap(one)(ip_e, data.mg_lm, data.mg_cam, data.mg_obs)
+        return jax.vmap(one)(ip_e, Text_e, K_e, data.mg_lm, data.mg_obs)
 
     packs = _pair_packs(data, state, data.mg_sid_cols)
     pack_e = jax.tree.map(lambda a: a[data.mg_sid], packs)
@@ -211,11 +235,16 @@ def _mono_gp_eval(data: LocalBAData, state: BAState):
 
 
 def _stereo_gp_eval(data: LocalBAData, state: BAState):
+    E = data.sg_obs.shape[0]
+    if E == 0:
+        z = lambda *s: jnp.zeros(s, data.sg_obs.dtype)  # noqa: E731
+        return z(0, 3), z(0, 3, 12), z(0, 3, 12), z(0, 3, 3), z(0, 3)
     if data.sg_it is not None:
         ips = _interp_packs(
             data, state, data.sg_sid_cols, data.sg_it_sid, data.sg_it_t
         )
-        ip_e = jax.tree.map(lambda a: a[data.sg_it], ips)
+        IT = data.sg_it_t.shape[0]
+        ip_e = jax.tree.map(lambda a: _onehot_gather(data.sg_it, IT, a), ips)
 
         def one(ip, lm, obs):
             return reprojection.stereo_gp_residual_jac_interp(
@@ -238,16 +267,18 @@ def _stereo_gp_eval(data: LocalBAData, state: BAState):
 
 
 def _stereo_eval(data: LocalBAData, state: BAState):
-    def one(p, lm, obs, is_stereo):
+    T_e = _onehot_gather(data.st_pose, state.T.shape[0], state.T)
+
+    def one(Twb, lm, obs, is_stereo):
         r3, J3, Jl, Xc = reprojection.stereo_residual_jac(
-            state.T[p], data.Tbc_stereo, data.K_stereo, data.bf, state.X[lm], obs
+            Twb, data.Tbc_stereo, data.K_stereo, data.bf, state.X[lm], obs
         )
         row = jnp.where(
             is_stereo, jnp.ones(3, r3.dtype), jnp.asarray([1, 1, 0], r3.dtype)
         )
         return r3 * row, J3 * row[:, None], Jl * row[:, None], Xc[2]
 
-    return jax.vmap(one)(data.st_pose, data.st_lm, data.st_obs, data.st_is_stereo)
+    return jax.vmap(one)(T_e, data.st_lm, data.st_obs, data.st_is_stereo)
 
 
 def _gp_chain_eval(data: LocalBAData, state: BAState):
@@ -285,18 +316,22 @@ def _interp_poses(data: LocalBAData, state: BAState, sid_cols, it_sid, it_t):
 def _mono_gp_residuals(data: LocalBAData, state: BAState):
     """Residual-only async-camera GP evaluation (chi2 path — avoids building
     the Jacobian chains XLA may not fully DCE through vmap)."""
+    if data.mg_obs.shape[0] == 0:
+        return jnp.zeros((0, 2), data.mg_obs.dtype)
     if data.mg_it is not None:
         Tbw_u = _interp_poses(
             data, state, data.mg_sid_cols, data.mg_it_sid, data.mg_it_t
         )
-        Tbw_e = Tbw_u[data.mg_it]
+        Tbw_e = _onehot_gather(data.mg_it, Tbw_u.shape[0], Tbw_u)
+        Text_e = _onehot_gather(data.mg_cam, data.n_ext, state.Text)
+        K_e = _onehot_gather(data.mg_cam, data.n_ext, data.K_async)
 
-        def one(Tbw, lm, cam, obs):
+        def one(Tbw, Tbc, Kc, lm, obs):
             return reprojection.mono_gp_residual_interp(
-                Tbw, state.Text[cam], data.K_async[cam], state.X[lm], obs
+                Tbw, Tbc, Kc, state.X[lm], obs
             )
 
-        return jax.vmap(one)(Tbw_e, data.mg_lm, data.mg_cam, data.mg_obs)
+        return jax.vmap(one)(Tbw_e, Text_e, K_e, data.mg_lm, data.mg_obs)
 
     def one(pair, lm, cam, t, obs):
         i, j = pair[0], pair[1]
@@ -311,11 +346,13 @@ def _mono_gp_residuals(data: LocalBAData, state: BAState):
 
 
 def _stereo_gp_residuals(data: LocalBAData, state: BAState):
+    if data.sg_obs.shape[0] == 0:
+        return jnp.zeros((0, 3), data.sg_obs.dtype)
     if data.sg_it is not None:
         Tbw_u = _interp_poses(
             data, state, data.sg_sid_cols, data.sg_it_sid, data.sg_it_t
         )
-        Tbw_e = Tbw_u[data.sg_it]
+        Tbw_e = _onehot_gather(data.sg_it, Tbw_u.shape[0], Tbw_u)
 
         def one(Tbw, lm, obs):
             return reprojection.stereo_gp_residual_interp(
@@ -342,16 +379,18 @@ def _stereo_gp_residuals(data: LocalBAData, state: BAState):
 
 
 def _stereo_residuals(data: LocalBAData, state: BAState):
-    def one(p, lm, obs, is_stereo):
+    T_e = _onehot_gather(data.st_pose, state.T.shape[0], state.T)
+
+    def one(Twb, lm, obs, is_stereo):
         r3, Xc = reprojection.stereo_residual(
-            state.T[p], data.Tbc_stereo, data.K_stereo, data.bf, state.X[lm], obs
+            Twb, data.Tbc_stereo, data.K_stereo, data.bf, state.X[lm], obs
         )
         row = jnp.where(
             is_stereo, jnp.ones(3, r3.dtype), jnp.asarray([1, 1, 0], r3.dtype)
         )
         return r3 * row
 
-    return jax.vmap(one)(data.st_pose, data.st_lm, data.st_obs, data.st_is_stereo)
+    return jax.vmap(one)(T_e, data.st_lm, data.st_obs, data.st_is_stereo)
 
 
 def _gp_chain_residuals(data: LocalBAData, state: BAState):
