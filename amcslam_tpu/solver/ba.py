@@ -179,16 +179,24 @@ def _interp_packs(data: LocalBAData, state: BAState, sid_cols, it_sid, it_t):
     """Per-(structure, timestamp) interp packs: pair packs computed per
     structure (~K of them), interpolation chains per unique combo (~K*C),
     gathered per edge by the caller."""
-    packs = jax.vmap(
-        lambda i, j: reprojection.gp_pair_pack(
-            state.T[i], state.v[i], state.T[j], state.v[j]
-        )
-    )(sid_cols[:, 0] // 12, sid_cols[:, 12] // 12)
     i_u = sid_cols[it_sid, 0] // 12
     j_u = sid_cols[it_sid, 12] // 12
     # dump combo (structure 0) has i == j -> dt = 0; keep its pack finite
     # (outputs of the edges that gather it are where-masked anyway)
     j_u = jnp.where(j_u == i_u, jnp.minimum(i_u + 1, data.n_poses - 1), j_u)
+    from ..ops import pallas_chain
+
+    if state.T.dtype == jnp.float32 and pallas_chain.available():
+        # one fused Mosaic kernel instead of the ~200-launch op chain
+        return pallas_chain.gp_interp_packs(
+            state.T[i_u], state.v[i_u], state.T[j_u], state.v[j_u],
+            data.times[i_u], data.times[j_u], it_t,
+        )
+    packs = jax.vmap(
+        lambda i, j: reprojection.gp_pair_pack(
+            state.T[i], state.v[i], state.T[j], state.v[j]
+        )
+    )(sid_cols[:, 0] // 12, sid_cols[:, 12] // 12)
     pack_u = jax.tree.map(lambda a: a[it_sid], packs)
     return jax.vmap(reprojection.gp_interp_pack)(
         pack_u, state.T[i_u], state.v[i_u],

@@ -92,16 +92,24 @@ def _mono_gp_all(data: PoseGPData, state: PoseState):
                 pack, state.T[0], state.v[0], data.t_prev, data.t_cur, t
             )
         )(data.it_t)
-        ip_e = jax.tree.map(lambda a: a[data.mg_it], ips)
+        from .ba import _onehot_gather
 
-        def one_it(ip, obs, Xw, cam):
+        U = data.it_t.shape[0]
+        C = data.Tbc.shape[0]
+        # one-hot MXU gathers: TPU dynamic row gathers from these small
+        # tables cost ~1 element/cycle per edge (see ba._onehot_gather)
+        ip_e = jax.tree.map(lambda a: _onehot_gather(data.mg_it, U, a), ips)
+        Tbc_e = _onehot_gather(data.mg_cam, C, data.Tbc)
+        K_e = _onehot_gather(data.mg_cam, C, data.K)
+
+        def one_it(ip, Tbc, Kc, obs, Xw):
             r, J1, J2, _, _, Xc = reprojection.mono_gp_residual_jac_interp(
-                ip, data.Tbc[cam], data.K[cam], Xw, obs
+                ip, Tbc, Kc, Xw, obs
             )
             return r, J1, J2, Xc
 
         r, J1, J2, Xc = jax.vmap(one_it)(
-            ip_e, data.mg_obs, data.mg_Xw, data.mg_cam
+            ip_e, Tbc_e, K_e, data.mg_obs, data.mg_Xw
         )
         return r, J1, J2, Xc[:, 2]
 
