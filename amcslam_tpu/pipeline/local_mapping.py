@@ -71,23 +71,34 @@ class LocalMapping:
     def insert_keyframe(self, kf: KeyFrame):
         self.queue.append(kf)
 
-    def run_once(self) -> bool:
-        """One LocalMapping::Run iteration; returns False when idle."""
+    def run_once(self, lock=None) -> bool:
+        """One LocalMapping::Run iteration; returns False when idle.
+
+        `lock` (threaded mode: the map mutex) is taken per map-mutating
+        stage, NOT across the whole iteration — in particular the local-BA
+        SOLVE runs outside it on an extracted snapshot, so tracking is never
+        blocked for the solve's duration (the reference's LocalMapping
+        equally holds mMutexMapUpdate only around state updates while g2o
+        optimizes its own copies; Optimizer.cc:1246 'Optimize' vs :1386
+        'Recover optimized data')."""
         if not self.queue:
             return False
+        import contextlib
+
+        ctx = lock if lock is not None else contextlib.nullcontext()
         kf = self.queue.pop(0)
         T = GLOBAL_TIMER
-        with T.span("lm.process_new_kf"):
+        with ctx, T.span("lm.process_new_kf"):
             self.process_new_keyframe(kf)
-        with T.span("lm.cull_map_points"):
+        with ctx, T.span("lm.cull_map_points"):
             self.cull_map_points(kf)
-        with T.span("lm.create_new_points"):
+        with ctx, T.span("lm.create_new_points"):
             self.create_new_map_points(kf)
-        with T.span("lm.fuse_neighbors"):
+        with ctx, T.span("lm.fuse_neighbors"):
             self.fuse_neighbors(kf)
         if self.map.n_keyframes() > 2:
             with T.span("lm.local_ba"):
-                self.local_ba(kf)
+                self.local_ba(kf, lock=lock)
         if self.loop_closer is not None:
             with T.span("lm.loop_closing"):
                 self.loop_closer.insert_keyframe(kf)
@@ -427,12 +438,23 @@ class LocalMapping:
                         )
 
     # ------------------------------------------------------------------
-    def local_ba(self, kf: KeyFrame):
-        """Optimizer::LocalGPBA via extraction + jitted Schur solver."""
-        data, state, handles = extract_local_ba(
-            kf, self.map.map_points, self.rig, kf_table=self.map.keyframes
-        )
+    def local_ba(self, kf: KeyFrame, lock=None):
+        """Optimizer::LocalGPBA via extraction + jitted Schur solver.
+
+        With `lock` (threaded mode): snapshot-extract and write-back run
+        under the map mutex; the device solve between them does not."""
+        import contextlib
+
+        ctx = lock if lock is not None else contextlib.nullcontext()
+        with ctx:
+            data, state, handles = extract_local_ba(
+                kf, self.map.map_points, self.rig, kf_table=self.map.keyframes
+            )
         res = self._ba(data, state)
+        with ctx:
+            self._apply_local_ba(res, handles)
+
+    def _apply_local_ba(self, res, handles):
         if bool(res.ok):
             apply_local_ba(res.state, handles, self.map.map_points)
             # refined extrinsics write back into the STATIC rig so subsequent

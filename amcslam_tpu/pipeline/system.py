@@ -118,9 +118,13 @@ class System:
         import time
 
         while not self._stop:
-            with self.atlas.active.mutex:
-                busy = self.local_mapper.run_once()
-                if self.loop_closer is not None:
+            m = self.atlas.active
+            # per-stage locking: the mapper takes the map mutex around each
+            # map-mutating stage but releases it for the local-BA solve, so
+            # tracking is never blocked for a multi-second device solve
+            busy = self.local_mapper.run_once(lock=m.mutex)
+            if self.loop_closer is not None:
+                with m.mutex:
                     busy = self.loop_closer.run_once() or busy
             if not busy:
                 time.sleep(0.002)

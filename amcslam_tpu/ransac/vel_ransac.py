@@ -115,11 +115,17 @@ def mc_ransac(
     the best hypothesis has fewer than `min_match` inliers (caller then skips
     outlier marking, Tracking.cc:1987-1988).
     """
-    N = data.obs.shape[0]
-
     def hypo(idx):
-        mask = jnp.zeros(N, bool).at[idx].set(True)
-        v = _fit_velocity(data, mask)
+        # fit on the 3 SAMPLED edges only, as the reference does (g2o puts
+        # the non-sampled edges on level 1, so optimize(40) never touches
+        # them — Optimizer.cc:2394-2423); the previous full-N masked
+        # linearize cost 40 LM iterations x N-row GP chains per hypothesis
+        # (655 ms/frame on the CPU e2e profile, dominated TrackLocalMap)
+        sub = data._replace(
+            dt=data.dt[idx], Xw=data.Xw[idx], obs=data.obs[idx],
+            cam=data.cam[idx], w=data.w[idx], valid=data.valid[idx],
+        )
+        v = _fit_velocity(sub, jnp.ones(idx.shape[0], bool))
         r, _ = _residuals_all(v, data)
         norms = jnp.linalg.norm(r, axis=-1)
         inl = data.valid & (norms <= threshold)

@@ -222,10 +222,14 @@ if __name__ == "__main__":
     ap.add_argument("--radius", type=float, default=5.0)
     ap.add_argument("--fps", type=float, default=10.0)
     ap.add_argument("--features", type=int, default=800)
+    ap.add_argument("--threaded", action="store_true",
+                    help="run mapping/loop-closing in a background thread "
+                         "(the reference's thread layout); tracking latency "
+                         "then excludes local BA")
     args = ap.parse_args()
     n = args.frames
     if args.circle and n == 50:
         n = int(args.period * args.fps) + int(2 * args.fps)  # lap + revisit
     run(n_frames=n, fps=args.fps, plot=args.plot, circle=args.circle,
         circle_period=args.period, circle_radius=args.radius,
-        n_features=args.features)
+        n_features=args.features, threaded=args.threaded)
