@@ -26,12 +26,47 @@
 
 #include <algorithm>
 #include <cfenv>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
+
+// Stage profiler (AMCSLAM_ORB_PROFILE=1): accumulated ms per stage,
+// printed to stderr after each extract() call.
+struct Prof {
+  bool on = false;
+  double ms[6] = {0, 0, 0, 0, 0, 0};  // resize fast nms quadtree blur brief
+  static const char* names(int i) {
+    static const char* n[6] = {"resize", "fast", "nms+cell", "quadtree",
+                               "blur", "orient+brief"};
+    return n[i];
+  }
+};
+thread_local Prof g_prof;
+
+struct StageTimer {
+  int slot;
+  std::chrono::steady_clock::time_point t0;
+  explicit StageTimer(int s) : slot(s) {
+    if (g_prof.on) t0 = std::chrono::steady_clock::now();
+  }
+  ~StageTimer() {
+    if (g_prof.on)
+      g_prof.ms[slot] +=
+          std::chrono::duration<double, std::milli>(
+              std::chrono::steady_clock::now() - t0)
+              .count();
+  }
+};
 
 constexpr int HALF_PATCH = 15;
 constexpr int EDGE_THRESHOLD = 19;
@@ -116,21 +151,136 @@ void resize_bilinear(const uint8_t* src, int H, int W, Image& out, int h,
   }
 }
 
-// FAST-9/16 at two thresholds in one pass. score/min-corner at min_th,
-// plus the ini_th corner mask.
-void fast_detect2(const Image& im, int min_th, int ini_th,
-                  std::vector<int32_t>& score, std::vector<uint8_t>& ok_min,
-                  std::vector<uint8_t>& ok_ini) {
+// Scalar full FAST test at one pixel: (is_corner, score at min_th).
+// score = sum of |d|-min_th over samples with |d| > min_th, as the Python
+// oracle computes it.
+inline bool fast_full_test(const uint8_t* p, const std::ptrdiff_t* off,
+                           int th, int32_t* resp_out, int min_th) {
+  int c = *p;
+  int d[16];
+  uint32_t mb = 0, md = 0;
+  for (int k = 0; k < 16; ++k) {
+    d[k] = p[off[k]] - c;
+    if (d[k] > th) mb |= 1u << k;
+    if (d[k] < -th) md |= 1u << k;
+  }
+  if (resp_out) {
+    int resp = 0;
+    for (int k = 0; k < 16; ++k) {
+      int a = std::abs(d[k]);
+      if (a > min_th) resp += a - min_th;
+    }
+    *resp_out = resp;
+  }
+  return ARC.lut[mb] || ARC.lut[md];
+}
+
+// FAST-9/16 corner scan at min_th. Emits the masked score map (score at
+// corner pixels, 0 elsewhere — exactly np.where(ok_min, score, 0)) and the
+// raster-ordered corner list. The ini_th re-test happens per NMS survivor
+// in the caller (ok_ini is only ever read there).
+//
+// The AVX2 path is branchless run counting: for each of 25 circle samples
+// (16 + 9 - 1, covering every circular arc), run = cond ? run+1 : 0 and
+// best = max(best, run), for bright and dark conditions on 32 pixels at a
+// time. best >= 9 is bit-for-bit the same decision as the 65536-entry
+// circular-run LUT used by the scalar path and the Python oracle.
+void fast_detect_scan(const Image& im, int min_th,
+                      std::vector<int32_t>& score,
+                      std::vector<int32_t>& cand) {
   int H = im.h, W = im.w;
   score.assign((size_t)H * W, 0);
-  ok_min.assign((size_t)H * W, 0);
-  ok_ini.assign((size_t)H * W, 0);
+  cand.clear();
   if (H <= 6 || W <= 6) return;
-  // circle sample positions as linear offsets into the image buffer
   std::ptrdiff_t off[16];
   for (int k = 0; k < 16; ++k)
     off[k] = (std::ptrdiff_t)CIRCLE[k][1] * W + CIRCLE[k][0];
   const uint8_t* base = im.data.data();
+#if defined(__AVX2__)
+  if (W >= 40) {
+    const __m256i vth = _mm256_set1_epi8((char)min_th);
+    const __m256i vone = _mm256_set1_epi8(1);
+    const __m256i veight = _mm256_set1_epi8(8);
+    const __m256i vzero = _mm256_setzero_si256();
+    for (int y = 3; y < H - 3; ++y) {
+      const uint8_t* row = base + (size_t)y * W;
+      int x = 3;
+      while (x <= W - 4) {
+        // clamp the tail chunk so loads stay within [3, W-4]
+        if (x + 31 > W - 4) x = W - 4 - 31;
+        const uint8_t* p = row + x;
+        __m256i c = _mm256_loadu_si256((const __m256i*)p);
+        __m256i cb = _mm256_adds_epu8(c, vth);   // brighter if px > cb
+        __m256i cd = _mm256_subs_epu8(c, vth);   // darker  if px < cd
+        // compass prescreen: a 9-run covers >= 2 of samples {0,4,8,12}
+        // (they are 4 apart), so chunks where no pixel has 2 bright or 2
+        // dark compass exceedances cannot contain a corner. Masks are
+        // 0xFF == -1; the byte sum is -count.
+        {
+          __m256i sb = vzero, sd = vzero;
+          for (int k = 0; k < 16; k += 4) {
+            __m256i s = _mm256_loadu_si256((const __m256i*)(p + off[k]));
+            sb = _mm256_add_epi8(
+                sb, _mm256_cmpeq_epi8(_mm256_subs_epu8(s, cb), vzero));
+            sd = _mm256_add_epi8(
+                sd, _mm256_cmpeq_epi8(_mm256_subs_epu8(cd, s), vzero));
+          }
+          // cmpeq gives "not exceeding": count_exceed = 4 + sum. Pass if
+          // count_exceed >= 2  <=>  sum >= -2  <=>  sum > -3.
+          __m256i pass = _mm256_or_si256(
+              _mm256_cmpgt_epi8(sb, _mm256_set1_epi8(-3)),
+              _mm256_cmpgt_epi8(sd, _mm256_set1_epi8(-3)));
+          if (_mm256_movemask_epi8(pass) == 0) {
+            x += 32;
+            continue;
+          }
+        }
+        __m256i run_b = vzero, best_b = vzero;
+        __m256i run_d = vzero, best_d = vzero;
+        for (int k = 0; k < 25; ++k) {
+          __m256i s =
+              _mm256_loadu_si256((const __m256i*)(p + off[k & 15]));
+          // bright: s > cb  <=>  subs_epu8(s, cb) != 0
+          __m256i mb = _mm256_xor_si256(
+              _mm256_cmpeq_epi8(_mm256_subs_epu8(s, cb), vzero),
+              _mm256_set1_epi8((char)0xFF));
+          run_b = _mm256_and_si256(_mm256_adds_epu8(run_b, vone), mb);
+          best_b = _mm256_max_epu8(best_b, run_b);
+          // dark: s < cd  <=>  subs_epu8(cd, s) != 0
+          __m256i md = _mm256_xor_si256(
+              _mm256_cmpeq_epi8(_mm256_subs_epu8(cd, s), vzero),
+              _mm256_set1_epi8((char)0xFF));
+          run_d = _mm256_and_si256(_mm256_adds_epu8(run_d, vone), md);
+          best_d = _mm256_max_epu8(best_d, run_d);
+        }
+        // corner where best >= 9 on either polarity
+        __m256i ge9 = _mm256_or_si256(
+            _mm256_xor_si256(
+                _mm256_cmpeq_epi8(_mm256_subs_epu8(best_b, veight), vzero),
+                _mm256_set1_epi8((char)0xFF)),
+            _mm256_xor_si256(
+                _mm256_cmpeq_epi8(_mm256_subs_epu8(best_d, veight), vzero),
+                _mm256_set1_epi8((char)0xFF)));
+        uint32_t mask = (uint32_t)_mm256_movemask_epi8(ge9);
+        while (mask) {
+          int bit = __builtin_ctz(mask);
+          mask &= mask - 1;
+          size_t idx = (size_t)y * W + (x + bit);
+          if (score[idx]) continue;  // tail-chunk overlap already done
+          int32_t resp;
+          fast_full_test(p + bit, off, min_th, &resp, min_th);
+          score[idx] = resp;
+          cand.push_back((int32_t)idx);
+        }
+        x += 32;
+      }
+    }
+    // tail-chunk overlap can emit candidates out of raster order within a
+    // row; restore raster order (stable, indices are unique)
+    std::sort(cand.begin(), cand.end());
+    return;
+  }
+#endif
   for (int y = 3; y < H - 3; ++y) {
     const uint8_t* row = base + (size_t)y * W;
     for (int x = 3; x < W - 3; ++x) {
@@ -144,29 +294,11 @@ void fast_detect2(const Image& im, int min_th, int ini_th,
       int nd = (d0 < -min_th) + (d4 < -min_th) + (d8 < -min_th) +
                (d12 < -min_th);
       if (nb < 2 && nd < 2) continue;
-      int d[16];
-      uint32_t mb_min = 0, md_min = 0;
-      for (int k = 0; k < 16; ++k) {
-        d[k] = p[off[k]] - c;
-        if (d[k] > min_th) mb_min |= 1u << k;
-        if (d[k] < -min_th) md_min |= 1u << k;
-      }
-      bool corner_min = ARC.lut[mb_min] || ARC.lut[md_min];
-      if (!corner_min) continue;
-      uint32_t mb_ini = 0, md_ini = 0;
-      for (int k = 0; k < 16; ++k) {
-        if (d[k] > ini_th) mb_ini |= 1u << k;
-        if (d[k] < -ini_th) md_ini |= 1u << k;
-      }
+      int32_t resp;
+      if (!fast_full_test(p, off, min_th, &resp, min_th)) continue;
       size_t idx = (size_t)y * W + x;
-      ok_min[idx] = 1;
-      ok_ini[idx] = ARC.lut[mb_ini] || ARC.lut[md_ini];
-      int resp = 0;
-      for (int k = 0; k < 16; ++k) {
-        int a = std::abs(d[k]);
-        if (a > min_th) resp += a - min_th;
-      }
       score[idx] = resp;
+      cand.push_back((int32_t)idx);
     }
   }
 }
@@ -334,8 +466,11 @@ void extract_level(const Image& im, int lv, double scale, int ini_th,
   int H = im.h, W = im.w;
   if (H <= 2 * b || W <= 2 * b) return;
   std::vector<int32_t> score;
-  std::vector<uint8_t> ok_min, ok_ini;
-  fast_detect2(im, min_th, ini_th, score, ok_min, ok_ini);
+  std::vector<int32_t> fast_cand;
+  {
+    StageTimer st(1);
+    fast_detect_scan(im, min_th, score, fast_cand);
+  }
 
   // 3x3 NMS on score where ok_min (raster-order tie rules), inside border
   std::vector<double> cxs, cys;
@@ -343,27 +478,36 @@ void extract_level(const Image& im, int lv, double scale, int ini_th,
   std::vector<uint8_t> cini;
   std::vector<int64_t> ccell;
   int cells_x = (W - 2 * b) / CELL_W + 1;
-  auto sc = [&](int y, int x) -> int64_t {
-    if (y < 0 || y >= H || x < 0 || x >= W) return -1;
-    return ok_min[(size_t)y * W + x] ? (int64_t)score[(size_t)y * W + x] : 0;
-  };
-  for (int y = b; y < H - b; ++y) {
-    for (int x = b; x < W - b; ++x) {
-      size_t idx = (size_t)y * W + x;
-      if (!ok_min[idx]) continue;
-      int64_t s = score[idx];
-      // NMS over the raw (masked) score map, exactly like
-      // _nms3(np.where(ok_min, score, 0))
-      if (!(s > sc(y - 1, x - 1) && s > sc(y - 1, x) && s > sc(y - 1, x + 1) &&
-            s > sc(y, x - 1) && s >= sc(y, x + 1) && s >= sc(y + 1, x - 1) &&
-            s >= sc(y + 1, x) && s >= sc(y + 1, x + 1)))
-        continue;
-      cxs.push_back(x);
-      cys.push_back(y);
-      cresp.push_back((int32_t)s);
-      cini.push_back(ok_ini[idx]);
-      ccell.push_back((int64_t)((y - b) / CELL_W) * cells_x + (x - b) / CELL_W);
-    }
+  std::ptrdiff_t coff[16];
+  for (int k = 0; k < 16; ++k)
+    coff[k] = (std::ptrdiff_t)CIRCLE[k][1] * W + CIRCLE[k][0];
+  std::vector<double> xs, ys;
+  std::vector<int32_t> resp;
+  {
+  StageTimer nms_t(2);
+  // NMS over the masked score map, visiting corner pixels only (the map is
+  // 0 at non-corners and corner scores are >= 9 > 0, so comparing against
+  // the raw map entries is exactly _nms3(np.where(ok_min, score, 0))).
+  // Corners live in [3, H-3) x [3, W-3) and b > 4, so every neighbor
+  // access below is in-bounds.
+  const int32_t* S = score.data();
+  for (int32_t ci : fast_cand) {
+    int y = (int)(ci / W), x = (int)(ci % W);
+    if (y < b || y >= H - b || x < b || x >= W - b) continue;
+    size_t idx = (size_t)ci;
+    int32_t s = S[idx];
+    if (!(s > S[idx - W - 1] && s > S[idx - W] && s > S[idx - W + 1] &&
+          s > S[idx - 1] && s >= S[idx + 1] && s >= S[idx + W - 1] &&
+          s >= S[idx + W] && s >= S[idx + W + 1]))
+      continue;
+    cxs.push_back(x);
+    cys.push_back(y);
+    cresp.push_back(s);
+    // ini_th re-test at survivors only (ini corners are a subset of min
+    // corners; the per-cell retry below is the only reader)
+    cini.push_back(
+        fast_full_test(im.data.data() + idx, coff, ini_th, nullptr, 0));
+    ccell.push_back((int64_t)((y - b) / CELL_W) * cells_x + (x - b) / CELL_W);
   }
   if (cxs.empty()) return;
   // per-cell ini/min retry: keep ini corners, plus everything in cells
@@ -372,8 +516,6 @@ void extract_level(const Image& im, int lv, double scale, int ini_th,
   std::vector<uint8_t> has_ini((size_t)max_cell + 1, 0);
   for (size_t i = 0; i < ccell.size(); ++i)
     if (cini[i]) has_ini[ccell[i]] = 1;
-  std::vector<double> xs, ys;
-  std::vector<int32_t> resp;
   for (size_t i = 0; i < ccell.size(); ++i) {
     if (cini[i] || !has_ini[ccell[i]]) {
       xs.push_back(cxs[i]);
@@ -381,9 +523,14 @@ void extract_level(const Image& im, int lv, double scale, int ini_th,
       resp.push_back(cresp[i]);
     }
   }
+  }  // nms_t
 
-  std::vector<int> keep = distribute_quadtree(
-      xs, ys, resp, b - 0.0, W - b + 0.0, b - 0.0, H - b + 0.0, budget);
+  std::vector<int> keep;
+  {
+    StageTimer st(3);
+    keep = distribute_quadtree(xs, ys, resp, b - 0.0, W - b + 0.0, b - 0.0,
+                               H - b + 0.0, budget);
+  }
   // NOTE: python passes (EDGE_THRESHOLD-3, w-EDGE_THRESHOLD+3) == (b, W-b)
   if (keep.empty()) return;
 
@@ -400,8 +547,12 @@ void extract_level(const Image& im, int lv, double scale, int ini_th,
     }
   }
   Image blur;
-  gaussian_blur7(im, blur, &row_need);
+  {
+    StageTimer st(4);
+    gaussian_blur7(im, blur, &row_need);
+  }
 
+  StageTimer brief_t(5);
   size_t n0 = out.oct.size();
   size_t n = keep.size();
   out.xy.resize(2 * (n0 + n));
@@ -498,20 +649,32 @@ PyObject* py_extract(PyObject*, PyObject* args) {
 
   LevelOut out;
   Py_BEGIN_ALLOW_THREADS;
-  for (int lv = 0; lv < n_levels; ++lv) {
-    double s = std::pow(scale_factor, lv);
-    Image level;
-    if (lv == 0) {
-      level.h = H;
-      level.w = W;
-      level.data.assign(img, img + (size_t)H * W);
-    } else {
-      int h = std::max((int)std::nearbyint(H / s), 8);
-      int w = std::max((int)std::nearbyint(W / s), 8);
-      resize_bilinear(img, H, W, level, h, w);
+  {
+    const char* prof_env = std::getenv("AMCSLAM_ORB_PROFILE");
+    g_prof.on = prof_env && prof_env[0] && prof_env[0] != '0';
+    if (g_prof.on) std::memset(g_prof.ms, 0, sizeof(g_prof.ms));
+    for (int lv = 0; lv < n_levels; ++lv) {
+      double s = std::pow(scale_factor, lv);
+      Image level;
+      if (lv == 0) {
+        level.h = H;
+        level.w = W;
+        level.data.assign(img, img + (size_t)H * W);
+      } else {
+        StageTimer st(0);
+        int h = std::max((int)std::nearbyint(H / s), 8);
+        int w = std::max((int)std::nearbyint(W / s), 8);
+        resize_bilinear(img, H, W, level, h, w);
+      }
+      extract_level(level, lv, s, ini_th, min_th, budgets[lv], pattern,
+                    patch_off, n_patch, out);
     }
-    extract_level(level, lv, s, ini_th, min_th, budgets[lv], pattern,
-                  patch_off, n_patch, out);
+    if (g_prof.on) {
+      std::fprintf(stderr, "[orb_fast]");
+      for (int i = 0; i < 6; ++i)
+        std::fprintf(stderr, " %s=%.1fms", Prof::names(i), g_prof.ms[i]);
+      std::fprintf(stderr, "\n");
+    }
   }
   Py_END_ALLOW_THREADS;
 
