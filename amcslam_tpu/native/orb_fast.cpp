@@ -114,6 +114,32 @@ struct Image {
   uint8_t at(int y, int x) const { return data[(size_t)y * w + x]; }
 };
 
+// u8 -> f64 row conversion (SIMD where available)
+inline void row_to_double(const uint8_t* src, double* dst, int n) {
+  int x = 0;
+#if defined(__AVX2__)
+  for (; x + 4 <= n; x += 4) {
+    __m128i b = _mm_cvtsi32_si128(*(const int32_t*)(src + x));
+    _mm256_storeu_pd(dst + x, _mm256_cvtepi32_pd(_mm_cvtepu8_epi32(b)));
+  }
+#endif
+  for (; x < n; ++x) dst[x] = src[x];
+}
+
+#if defined(__AVX2__)
+// round-half-even, clip to [0,255], store 4 u8 — per-lane identical to the
+// scalar nearbyint/min/max/cast sequence (default rounding mode)
+inline void store4_u8(uint8_t* dst, __m256d v) {
+  v = _mm256_round_pd(v, _MM_FROUND_TO_NEAREST_INT | _MM_FROUND_NO_EXC);
+  v = _mm256_min_pd(_mm256_max_pd(v, _mm256_setzero_pd()),
+                    _mm256_set1_pd(255.0));
+  __m128i i32 = _mm256_cvtpd_epi32(v);
+  __m128i i16 = _mm_packus_epi32(i32, i32);
+  __m128i i8 = _mm_packus_epi16(i16, i16);
+  *(int32_t*)dst = _mm_cvtsi128_si32(i8);
+}
+#endif
+
 void resize_bilinear(const uint8_t* src, int H, int W, Image& out, int h,
                      int w) {
   out.h = h;
@@ -136,6 +162,59 @@ void resize_bilinear(const uint8_t* src, int H, int W, Image& out, int h,
     x1[j] = std::min(std::max(a + 1, 0), W - 1);
     fx[j] = std::min(std::max(xs - x0[j], 0.0), 1.0);
   }
+#if defined(__AVX2__)
+  // gather path: convert the two source rows to f64 once per output row,
+  // then 4-wide gathers; term order matches the scalar/oracle expression
+  // exactly (mul-then-add, left to right), so results are bit-identical.
+  std::vector<int64_t> x0l(w), x1l(w);
+  for (int j = 0; j < w; ++j) {
+    x0l[j] = x0[j];
+    x1l[j] = x1[j];
+  }
+  std::vector<double> r0d(W), r1d(W);
+  int cached0 = -1, cached1 = -1;
+  const __m256d vone = _mm256_set1_pd(1.0);
+  for (int i = 0; i < h; ++i) {
+    if (y0[i] != cached0) {
+      row_to_double(src + (size_t)y0[i] * W, r0d.data(), W);
+      cached0 = y0[i];
+    }
+    if (y1[i] != cached1) {
+      if (y1[i] == y0[i])
+        std::copy(r0d.begin(), r0d.end(), r1d.begin());
+      else
+        row_to_double(src + (size_t)y1[i] * W, r1d.data(), W);
+      cached1 = y1[i];
+    }
+    double wy = fy[i];
+    const __m256d vwy = _mm256_set1_pd(wy);
+    const __m256d vowy = _mm256_set1_pd(1.0 - wy);
+    uint8_t* dst = &out.data[(size_t)i * w];
+    int j = 0;
+    for (; j + 4 <= w; j += 4) {
+      __m256i i0 = _mm256_loadu_si256((const __m256i*)(x0l.data() + j));
+      __m256i i1 = _mm256_loadu_si256((const __m256i*)(x1l.data() + j));
+      __m256d a00 = _mm256_i64gather_pd(r0d.data(), i0, 8);
+      __m256d a01 = _mm256_i64gather_pd(r0d.data(), i1, 8);
+      __m256d a10 = _mm256_i64gather_pd(r1d.data(), i0, 8);
+      __m256d a11 = _mm256_i64gather_pd(r1d.data(), i1, 8);
+      __m256d fxv = _mm256_loadu_pd(fx.data() + j);
+      __m256d ofx = _mm256_sub_pd(vone, fxv);
+      __m256d v = _mm256_mul_pd(_mm256_mul_pd(a00, vowy), ofx);
+      v = _mm256_add_pd(v, _mm256_mul_pd(_mm256_mul_pd(a01, vowy), fxv));
+      v = _mm256_add_pd(v, _mm256_mul_pd(_mm256_mul_pd(a10, vwy), ofx));
+      v = _mm256_add_pd(v, _mm256_mul_pd(_mm256_mul_pd(a11, vwy), fxv));
+      store4_u8(dst + j, v);
+    }
+    for (; j < w; ++j) {
+      double v = r0d[x0[j]] * (1 - wy) * (1 - fx[j]) +
+                 r0d[x1[j]] * (1 - wy) * fx[j] +
+                 r1d[x0[j]] * wy * (1 - fx[j]) + r1d[x1[j]] * wy * fx[j];
+      v = std::nearbyint(v);
+      dst[j] = (uint8_t)std::min(std::max(v, 0.0), 255.0);
+    }
+  }
+#else
   for (int i = 0; i < h; ++i) {
     const uint8_t* r0 = src + (size_t)y0[i] * W;
     const uint8_t* r1 = src + (size_t)y1[i] * W;
@@ -149,6 +228,7 @@ void resize_bilinear(const uint8_t* src, int H, int W, Image& out, int h,
       dst[j] = (uint8_t)std::min(std::max(v, 0.0), 255.0);
     }
   }
+#endif
 }
 
 // Scalar full FAST test at one pixel: (is_corner, score at min_th).
@@ -419,33 +499,62 @@ void gaussian_blur7(const Image& im, Image& out,
         for (int i = -r; i <= r; ++i) tmp_need[refl(y + i, H)] = 1;
   }
   std::vector<double> tmp((size_t)H * W);
+  std::vector<double> rowd(W);
   for (int y = 0; y < H; ++y) {
     if (row_need && !tmp_need[y]) continue;
     const uint8_t* row = &im.data[(size_t)y * W];
+    row_to_double(row, rowd.data(), W);
     double* t = &tmp[(size_t)y * W];
     for (int x = 0; x < r; ++x) {
       double v = 0;
-      for (int i = -r; i <= r; ++i) v += k[i + r] * row[refl(x + i, W)];
+      for (int i = -r; i <= r; ++i) v += k[i + r] * rowd[refl(x + i, W)];
       t[x] = v;
     }
-    for (int x = r; x < W - r; ++x) {
+    int x = r;
+#if defined(__AVX2__)
+    // accumulation order per lane matches the scalar loop (k0*p0 + k1*p1
+    // + ...), so every t[x] is bit-identical
+    for (; x + 4 <= W - r; x += 4) {
+      __m256d v = _mm256_mul_pd(_mm256_set1_pd(k[0]),
+                                _mm256_loadu_pd(rowd.data() + x - r));
+      for (int i = 1; i < 7; ++i)
+        v = _mm256_add_pd(
+            v, _mm256_mul_pd(_mm256_set1_pd(k[i]),
+                             _mm256_loadu_pd(rowd.data() + x - r + i)));
+      _mm256_storeu_pd(t + x, v);
+    }
+#endif
+    for (; x < W - r; ++x) {
       double v = 0;
-      for (int i = -r; i <= r; ++i) v += k[i + r] * row[x + i];
+      for (int i = -r; i <= r; ++i) v += k[i + r] * rowd[x + i];
       t[x] = v;
     }
-    for (int x = W - r; x < W; ++x) {
+    for (x = W - r; x < W; ++x) {
       double v = 0;
-      for (int i = -r; i <= r; ++i) v += k[i + r] * row[refl(x + i, W)];
+      for (int i = -r; i <= r; ++i) v += k[i + r] * rowd[refl(x + i, W)];
       t[x] = v;
     }
   }
   for (int y = 0; y < H; ++y) {
     if (row_need && !(*row_need)[y]) continue;
     uint8_t* o = &out.data[(size_t)y * W];
-    for (int x = 0; x < W; ++x) {
+    const double* rows[7];
+    for (int i = -r; i <= r; ++i)
+      rows[i + r] = &tmp[(size_t)refl(y + i, H) * W];
+    int x = 0;
+#if defined(__AVX2__)
+    for (; x + 4 <= W; x += 4) {
+      __m256d v = _mm256_mul_pd(_mm256_set1_pd(k[0]),
+                                _mm256_loadu_pd(rows[0] + x));
+      for (int i = 1; i < 7; ++i)
+        v = _mm256_add_pd(v, _mm256_mul_pd(_mm256_set1_pd(k[i]),
+                                           _mm256_loadu_pd(rows[i] + x)));
+      store4_u8(o + x, v);
+    }
+#endif
+    for (; x < W; ++x) {
       double v = 0;
-      for (int i = -r; i <= r; ++i)
-        v += k[i + r] * tmp[(size_t)refl(y + i, H) * W + x];
+      for (int i = 0; i < 7; ++i) v += k[i] * rows[i][x];
       v = std::nearbyint(v);
       o[x] = (uint8_t)std::min(std::max(v, 0.0), 255.0);
     }
