@@ -484,7 +484,9 @@ void gaussian_blur7(const Image& im, Image& out,
   int H = im.h, W = im.w;
   out.h = H;
   out.w = W;
-  out.data.assign((size_t)H * W, 0);
+  // +3 pad: the BRIEF 4-byte gathers may read up to 3 bytes past the last
+  // sampled pixel
+  out.data.assign((size_t)H * W + 3, 0);
   auto refl = [](int i, int n) {  // reflect-101 (np.pad mode="reflect")
     if (i < 0) i = -i;
     if (i >= n) i = 2 * n - 2 - i;
@@ -668,11 +670,84 @@ void extract_level(const Image& im, int lv, double scale, int ini_th,
   out.oct.resize(n0 + n);
   out.desc.resize(32 * (n0 + n));
   out.ang.resize(n0 + n);
+#if defined(__AVX2__)
+  // Orientation row tables: the circular patch offsets arrive row-major
+  // (dy runs, dx contiguous), so each row becomes one 32-byte window
+  // [-16, 15] around x with i8 weights (0 outside the circle). maddubs/madd
+  // keep everything in exact integer arithmetic, so m01/m10 equal the
+  // scalar double sums bit-for-bit (|m| <= ~2.7e6 << 2^53).
+  struct OrientRow {
+    alignas(32) int8_t w1[32];
+    alignas(32) int8_t wdx[32];
+    int dy;
+  };
+  std::vector<OrientRow> orows;
+  {
+    bool fits = true;
+    int p = 0;
+    while (p < n_patch && fits) {
+      int dy = patch_off[2 * p];
+      OrientRow rowt;
+      rowt.dy = dy;
+      std::memset(rowt.w1, 0, 32);
+      std::memset(rowt.wdx, 0, 32);
+      while (p < n_patch && patch_off[2 * p] == dy) {
+        int dx = patch_off[2 * p + 1];
+        if (dx < -16 || dx > 15 || dy < -16 || dy > 16 || rowt.w1[dx + 16]) {
+          fits = false;  // not the expected compact row-major circle
+          break;
+        }
+        rowt.w1[dx + 16] = 1;
+        rowt.wdx[dx + 16] = (int8_t)dx;
+        ++p;
+      }
+      orows.push_back(rowt);
+    }
+    if (!fits) orows.clear();  // scalar fallback
+  }
+  // SoA f64 pattern for the 4-wide BRIEF rotation
+  std::vector<double> ppx1(256), ppy1(256), ppx2(256), ppy2(256);
+  for (int p = 0; p < 256; ++p) {
+    ppx1[p] = pattern[4 * p];
+    ppy1[p] = pattern[4 * p + 1];
+    ppx2[p] = pattern[4 * p + 2];
+    ppy2[p] = pattern[4 * p + 3];
+  }
+#endif
   for (size_t i = 0; i < n; ++i) {
     int k = keep[i];
     int x = (int)xs[k], y = (int)ys[k];
     // intensity-centroid orientation over the circular patch
     double m01 = 0, m10 = 0;
+#if defined(__AVX2__)
+    if (!orows.empty() && y >= HALF_PATCH && y < H - HALF_PATCH && x >= 16 &&
+        x < W - 16) {
+      const uint8_t* ctr = &im.data[(size_t)y * W + x];
+      const __m256i ones = _mm256_set1_epi16(1);
+      __m256i acc10 = _mm256_setzero_si256();
+      __m256i acc01 = _mm256_setzero_si256();
+      for (const OrientRow& rowt : orows) {
+        __m256i v = _mm256_loadu_si256(
+            (const __m256i*)(ctr + (std::ptrdiff_t)rowt.dy * W - 16));
+        __m256i t10 = _mm256_maddubs_epi16(
+            v, _mm256_load_si256((const __m256i*)rowt.wdx));
+        __m256i t01 = _mm256_maddubs_epi16(
+            v, _mm256_load_si256((const __m256i*)rowt.w1));
+        acc10 = _mm256_add_epi32(acc10, _mm256_madd_epi16(t10, ones));
+        acc01 = _mm256_add_epi32(
+            acc01, _mm256_madd_epi16(t01, _mm256_set1_epi16((short)rowt.dy)));
+      }
+      auto hsum = [](__m256i a) -> int32_t {
+        __m128i s = _mm_add_epi32(_mm256_castsi256_si128(a),
+                                  _mm256_extracti128_si256(a, 1));
+        s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0x4E));
+        s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0xB1));
+        return _mm_cvtsi128_si32(s);
+      };
+      m10 = (double)hsum(acc10);
+      m01 = (double)hsum(acc01);
+    } else
+#endif
     if (y >= HALF_PATCH && y < H - HALF_PATCH && x >= HALF_PATCH &&
         x < W - HALF_PATCH) {
       const uint8_t* ctr = &im.data[(size_t)y * W + x];
@@ -698,6 +773,44 @@ void extract_level(const Image& im, int lv, double scale, int ini_th,
     std::memset(d, 0, 32);
     bool interior = y >= REACH && y < H - REACH && x >= REACH && x < W - REACH;
     const uint8_t* bc = &blur.data[(size_t)y * W + x];
+#if defined(__AVX2__)
+    if (interior) {
+      // 4 pairs per step: rotate in f64 with the oracle's exact op order
+      // (mul, mul, sub/add — no FMA), cvtpd rounds half-to-even like
+      // np.round/lrint, then byte gathers off bc (blur is padded by 3 so
+      // the 4-byte gather loads stay in-bounds at the image tail).
+      const __m256d vca = _mm256_set1_pd(ca), vsa = _mm256_set1_pd(sa);
+      const __m128i vW = _mm_set1_epi32(W);
+      const __m128i vmask = _mm_set1_epi32(0xFF);
+      const int* bci = (const int*)bc;
+      for (int p = 0; p < 256; p += 4) {
+        __m256d x1 = _mm256_loadu_pd(&ppx1[p]), y1 = _mm256_loadu_pd(&ppy1[p]);
+        __m256d x2 = _mm256_loadu_pd(&ppx2[p]), y2 = _mm256_loadu_pd(&ppy2[p]);
+        __m128i xr1 = _mm256_cvtpd_epi32(
+            _mm256_sub_pd(_mm256_mul_pd(vca, x1), _mm256_mul_pd(vsa, y1)));
+        __m128i yr1 = _mm256_cvtpd_epi32(
+            _mm256_add_pd(_mm256_mul_pd(vsa, x1), _mm256_mul_pd(vca, y1)));
+        __m128i xr2 = _mm256_cvtpd_epi32(
+            _mm256_sub_pd(_mm256_mul_pd(vca, x2), _mm256_mul_pd(vsa, y2)));
+        __m128i yr2 = _mm256_cvtpd_epi32(
+            _mm256_add_pd(_mm256_mul_pd(vsa, x2), _mm256_mul_pd(vca, y2)));
+        __m128i o1 = _mm_add_epi32(_mm_mullo_epi32(yr1, vW), xr1);
+        __m128i o2 = _mm_add_epi32(_mm_mullo_epi32(yr2, vW), xr2);
+        __m128i s1 = _mm_and_si128(_mm_i32gather_epi32(bci, o1, 1), vmask);
+        __m128i s2 = _mm_and_si128(_mm_i32gather_epi32(bci, o2, 1), vmask);
+        int m = _mm_movemask_ps(_mm_castsi128_ps(_mm_cmpgt_epi32(s2, s1)));
+        // movemask bit j = pair p+j; packbits order is MSB-first
+        d[p >> 3] |= (uint8_t)(((m & 1) << 7 | (m & 2) << 5 | (m & 4) << 3 |
+                                (m & 8) << 1) >>
+                               (p & 7));
+      }
+      out.xy[2 * (n0 + i)] = xs[k] * scale;
+      out.xy[2 * (n0 + i) + 1] = ys[k] * scale;
+      out.oct[n0 + i] = lv;
+      out.ang[n0 + i] = ang;
+      continue;
+    }
+#endif
     for (int p = 0; p < 256; ++p) {
       int px1 = pattern[4 * p], py1 = pattern[4 * p + 1];
       int px2 = pattern[4 * p + 2], py2 = pattern[4 * p + 3];
