@@ -315,6 +315,27 @@ void fast_detect_scan(const Image& im, int min_th,
             continue;
           }
         }
+        // stage-2 prescreen: a contiguous 9-arc covers at least 4 of the 8
+        // even circle samples {0,2,...,14}, so require >= 4 bright or >= 4
+        // dark even-sample exceedances before the 25-step run loop
+        {
+          __m256i sb = vzero, sd = vzero;
+          for (int k = 0; k < 16; k += 2) {
+            __m256i s = _mm256_loadu_si256((const __m256i*)(p + off[k]));
+            sb = _mm256_add_epi8(
+                sb, _mm256_cmpeq_epi8(_mm256_subs_epu8(s, cb), vzero));
+            sd = _mm256_add_epi8(
+                sd, _mm256_cmpeq_epi8(_mm256_subs_epu8(cd, s), vzero));
+          }
+          // count_exceed = 8 + sum (masks are -1); pass if >= 4 <=> sum > -5
+          __m256i pass = _mm256_or_si256(
+              _mm256_cmpgt_epi8(sb, _mm256_set1_epi8(-5)),
+              _mm256_cmpgt_epi8(sd, _mm256_set1_epi8(-5)));
+          if (_mm256_movemask_epi8(pass) == 0) {
+            x += 32;
+            continue;
+          }
+        }
         __m256i run_b = vzero, best_b = vzero;
         __m256i run_d = vzero, best_d = vzero;
         for (int k = 0; k < 25; ++k) {
@@ -601,9 +622,21 @@ void extract_level(const Image& im, int lv, double scale, int ini_th,
   // the raw map entries is exactly _nms3(np.where(ok_min, score, 0))).
   // Corners live in [3, H-3) x [3, W-3) and b > 4, so every neighbor
   // access below is in-bounds.
+  cxs.reserve(fast_cand.size() / 4);
+  cys.reserve(fast_cand.size() / 4);
+  cresp.reserve(fast_cand.size() / 4);
+  cini.reserve(fast_cand.size() / 4);
+  ccell.reserve(fast_cand.size() / 4);
   const int32_t* S = score.data();
+  // fast_cand is sorted, so track the row incrementally (no div/mod)
+  int y = 0;
+  int32_t row_end = W;
   for (int32_t ci : fast_cand) {
-    int y = (int)(ci / W), x = (int)(ci % W);
+    while (ci >= row_end) {
+      ++y;
+      row_end += W;
+    }
+    int x = (int)(ci - (row_end - W));
     if (y < b || y >= H - b || x < b || x >= W - b) continue;
     size_t idx = (size_t)ci;
     int32_t s = S[idx];
