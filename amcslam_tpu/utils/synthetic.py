@@ -650,23 +650,37 @@ def make_vi_ba_synthetic(
 
 
 def make_essential_graph(n_kf=500, n_loop=40, drift=0.002, seed=0,
-                         dtype=jnp.float64):
+                         dtype=jnp.float64, step_m=0.1, laps=None):
     """A Sim3 pose-graph instance (config 5): n_kf keyframes on a loopy
     trajectory, consecutive-chain Sim3 edges measured from drifted odometry,
     plus n_loop drift-free loop-closure edges to early keyframes
     (Optimizer::OptimizeEssentialGraph topology, Optimizer.cc:1390-1680).
+
+    `step_m` is the inter-keyframe spacing in meters (total path length
+    ~= n_kf * step_m; the default matches the original 0.1 m graphs).
+
+    With `laps=L`, the ground truth is L closed circuits of the same circle
+    (radius chosen so each lap closes) and the loop edges are *revisit*
+    closures: every (n_kf - n_kf//L)/n_loop-th keyframe on laps >= 2 gets a
+    drift-free edge to the keyframe one lap earlier at the same spot — the
+    topology a real detect-and-close run produces on a multi-lap route.
 
     Returns (data: EssentialGraphData, state0: Sim3Field drifted, gt poses).
     """
     from ..solver.sim3_opt import EssentialGraphData, Sim3Field
 
     rng = np.random.RandomState(seed)
-    # ground truth: circular-ish trajectory that revisits its start
     Ts = [np.eye(4)]
-    w = 2 * np.pi / n_kf
+    if laps is None:
+        # original open-arc trajectory (one tenth of a turn over the run)
+        xi_step = np.array([step_m * 10.0, 0.0, 0.0,
+                            0.0, 0.0, 2 * np.pi / n_kf]) * 0.1
+    else:
+        # closed circle per lap: rotation per step completes 2*pi each lap
+        per_lap = n_kf // laps
+        xi_step = np.array([step_m, 0.0, 0.0, 0.0, 0.0, 2 * np.pi / per_lap])
     for k in range(1, n_kf):
-        xi = np.array([1.0, 0.0, 0.0, 0.0, 0.0, w]) * 1.0
-        Ts.append(Ts[-1] @ _np_exp_se3(xi * 0.1))
+        Ts.append(Ts[-1] @ _np_exp_se3(xi_step))
     Ts = np.stack(Ts)
 
     # drifted estimates: accumulate noisy relative motions
@@ -683,13 +697,24 @@ def make_essential_graph(n_kf=500, n_loop=40, drift=0.002, seed=0,
         rel = np.linalg.inv(Td[k]) @ Td[k - 1]
         pairs.append([k - 1, k]); ms.append(1.0)
         mR.append(rel[:3, :3]); mt.append(rel[:3, 3])
-    # loop edges: drift-free ground-truth constraints to early keyframes
-    for i in range(n_loop):
-        a = int(rng.randint(0, n_kf // 4))
-        b = int(rng.randint(3 * n_kf // 4, n_kf))
-        rel = np.linalg.inv(Ts[b]) @ Ts[a]
-        pairs.append([a, b]); ms.append(1.0)
-        mR.append(rel[:3, :3]); mt.append(rel[:3, 3])
+    if laps is None:
+        # loop edges: drift-free ground-truth constraints to early keyframes
+        for i in range(n_loop):
+            a = int(rng.randint(0, n_kf // 4))
+            b = int(rng.randint(3 * n_kf // 4, n_kf))
+            rel = np.linalg.inv(Ts[b]) @ Ts[a]
+            pairs.append([a, b]); ms.append(1.0)
+            mR.append(rel[:3, :3]); mt.append(rel[:3, 3])
+    else:
+        # revisit closures: keyframe b on lap >= 2 against the keyframe one
+        # lap earlier (same physical location on the circle)
+        per_lap = n_kf // laps
+        stride = max(1, (n_kf - per_lap) // max(n_loop, 1))
+        for b in range(per_lap, n_kf, stride):
+            a = b - per_lap
+            rel = np.linalg.inv(Ts[b]) @ Ts[a]
+            pairs.append([a, b]); ms.append(1.0)
+            mR.append(rel[:3, :3]); mt.append(rel[:3, 3])
 
     E = len(pairs)
     data = EssentialGraphData(
