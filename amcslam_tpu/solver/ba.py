@@ -204,6 +204,20 @@ def _interp_packs(data: LocalBAData, state: BAState, sid_cols, it_sid, it_t):
     )
 
 
+def _mono_cam_tables(data: LocalBAData, state: BAState):
+    """Per-camera (Tbc, K) tables for mono-GP edges: the Cx async extrinsic
+    vertices plus a virtual last row for the stereo camera. A GPObs on the
+    stereo camera with no right match is a plain EdgeMonoGP in the reference
+    (Optimizer.cc:281-303), which reads the static mTbc[cam] for *any*
+    camera while extrinsic vertices exist only for the async ones
+    (Optimizer.cc:983-996) — so mg_cam may equal n_ext, selecting this
+    non-optimizable stereo row (its extrinsic Jacobian is masked to zero
+    via the zero-padded ext_act gather)."""
+    Text_all = jnp.concatenate([state.Text, data.Tbc_stereo[None]], axis=0)
+    K_all = jnp.concatenate([data.K_async, data.K_stereo[None]], axis=0)
+    return Text_all, K_all
+
+
 def _mono_gp_eval(data: LocalBAData, state: BAState):
     E = data.mg_obs.shape[0]
     if E == 0:
@@ -217,8 +231,9 @@ def _mono_gp_eval(data: LocalBAData, state: BAState):
         )
         IT = data.mg_it_t.shape[0]
         ip_e = jax.tree.map(lambda a: _onehot_gather(data.mg_it, IT, a), ips)
-        Text_e = _onehot_gather(data.mg_cam, data.n_ext, state.Text)
-        K_e = _onehot_gather(data.mg_cam, data.n_ext, data.K_async)
+        Text_all, K_all = _mono_cam_tables(data, state)
+        Text_e = _onehot_gather(data.mg_cam, data.n_ext + 1, Text_all)
+        K_e = _onehot_gather(data.mg_cam, data.n_ext + 1, K_all)
 
         def one(ip, Tbc, Kc, lm, obs):
             return reprojection.mono_gp_residual_jac_interp(
@@ -229,12 +244,13 @@ def _mono_gp_eval(data: LocalBAData, state: BAState):
 
     packs = _pair_packs(data, state, data.mg_sid_cols)
     pack_e = jax.tree.map(lambda a: a[data.mg_sid], packs)
+    Text_all, K_all = _mono_cam_tables(data, state)
 
     def one(pair, lm, cam, t, obs, pack):
         i, j = pair[0], pair[1]
         return reprojection.mono_gp_residual_jac_packed(
             pack, state.T[i], state.v[i], data.times[i], data.times[j],
-            t, state.Text[cam], data.K_async[cam], state.X[lm], obs,
+            t, Text_all[cam], K_all[cam], state.X[lm], obs,
         )
 
     return jax.vmap(one)(
@@ -331,8 +347,9 @@ def _mono_gp_residuals(data: LocalBAData, state: BAState):
             data, state, data.mg_sid_cols, data.mg_it_sid, data.mg_it_t
         )
         Tbw_e = _onehot_gather(data.mg_it, Tbw_u.shape[0], Tbw_u)
-        Text_e = _onehot_gather(data.mg_cam, data.n_ext, state.Text)
-        K_e = _onehot_gather(data.mg_cam, data.n_ext, data.K_async)
+        Text_all, K_all = _mono_cam_tables(data, state)
+        Text_e = _onehot_gather(data.mg_cam, data.n_ext + 1, Text_all)
+        K_e = _onehot_gather(data.mg_cam, data.n_ext + 1, K_all)
 
         def one(Tbw, Tbc, Kc, lm, obs):
             return reprojection.mono_gp_residual_interp(
@@ -341,12 +358,14 @@ def _mono_gp_residuals(data: LocalBAData, state: BAState):
 
         return jax.vmap(one)(Tbw_e, Text_e, K_e, data.mg_lm, data.mg_obs)
 
+    Text_all, K_all = _mono_cam_tables(data, state)
+
     def one(pair, lm, cam, t, obs):
         i, j = pair[0], pair[1]
         r, _ = reprojection.mono_gp_residual(
             state.T[i], state.v[i], data.times[i],
             state.T[j], state.v[j], data.times[j],
-            t, state.Text[cam], data.K_async[cam], state.X[lm], obs,
+            t, Text_all[cam], K_all[cam], state.X[lm], obs,
         )
         return r
 
@@ -444,6 +463,9 @@ def make_ba_problem(
     act_vec = jnp.concatenate(
         [jnp.repeat(pose_act, 12), jnp.repeat(ext_act, 12) * phantom]
     )  # (P,)
+    # mg_cam == Cx selects the virtual stereo row (never optimizable):
+    # pad with a zero so the per-edge extrinsic mask gather stays in-bounds
+    ext_act1 = jnp.concatenate([ext_act, jnp.zeros(1, dtype)])
 
     act_m = data.mg_valid & lvl_m
     act_sg = data.sg_valid & lvl_sg
@@ -553,7 +575,7 @@ def make_ba_problem(
         # mask fixed vertices (their Jacobian blocks vanish)
         J1 = J1 * pose_act[i_][:, None, None]
         J2 = J2 * pose_act[j_][:, None, None]
-        Jext_m = Jext * ext_act[c_][:, None, None]
+        Jext_m = Jext * ext_act1[c_][:, None, None]
         Jp = jnp.concatenate([J1, J2, Jext_m], axis=2)  # (E,2,30)
         JpW = Jp * w[:, None, None]
         Em = Jp.shape[0]
@@ -579,8 +601,11 @@ def make_ba_problem(
             wp_rows.append(Wblk[:, :, 12:24])
             wp_keys.append(data.mg_lm * K + j_)
             if Cx:
+                # virtual stereo rows (c_ == Cx) carry zero blocks; clamp
+                # their key in-bounds rather than alias into lm+1
                 We = We + jax.ops.segment_sum(
-                    Wblk[:, :, 24:30], data.mg_lm * Cx + c_, L * Cx
+                    Wblk[:, :, 24:30],
+                    data.mg_lm * Cx + jnp.minimum(c_, Cx - 1), L * Cx,
                 )
         add_lm(
             jnp.sum(JlW[:, :, :, None] * Jl[:, :, None, :], axis=1),
@@ -821,6 +846,8 @@ def make_ba_problem_pcg(
         ext_act = (~data.ext_fixed).astype(dtype)
     else:
         ext_act = ext_active.astype(dtype)
+    # zero pad: mg_cam == Cx is the non-optimizable virtual stereo row
+    ext_act1 = jnp.concatenate([ext_act, jnp.zeros(1, dtype)])
 
     act_m = data.mg_valid & lvl_m
     act_sg = data.sg_valid & lvl_sg
@@ -859,7 +886,7 @@ def make_ba_problem_pcg(
         im, jm, cm = data.mg_pair[:, 0], data.mg_pair[:, 1], data.mg_cam
         J1m = J1m * pose_act[im][:, None, None]
         J2m = J2m * pose_act[jm][:, None, None]
-        Jem = Jem * ext_act[cm][:, None, None]
+        Jem = Jem * ext_act1[cm][:, None, None]
         wr = w_m[:, None] * r_m
         bp12 = bp12 - jax.ops.segment_sum(
             jnp.einsum("erc,er->ec", J1m, wr), im, K
@@ -1325,8 +1352,11 @@ def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
     if E == 0:
         return (_np.zeros(0, _np.int32),
                 _np.zeros((pad_to or 1, width), _np.int32))
+    # cam may equal n_ext (the virtual stereo row for stereo-camera GPObs
+    # mono edges), so the key space has n_ext + 1 camera slots
+    n_slots = n_ext + 1
     if cams is not None:
-        key = (pairs[:, 0] * n_poses + pairs[:, 1]) * n_ext + _np.asarray(cams, _np.int64)
+        key = (pairs[:, 0] * n_poses + pairs[:, 1]) * n_slots + _np.asarray(cams, _np.int64)
     else:
         key = pairs[:, 0] * n_poses + pairs[:, 1]
     key = _np.where(valid, key, -1)
@@ -1341,8 +1371,8 @@ def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
     for s_i in range(1, S):
         k = uniq[s_i]
         if cams is not None:
-            c = k % n_ext
-            ij = k // n_ext
+            c = k % n_slots
+            ij = k // n_slots
         else:
             ij = k
         i, j = ij // n_poses, ij % n_poses
@@ -1350,7 +1380,11 @@ def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
         if cams is not None:
             # extrinsic vertices live in 12-wide phantom column groups
             # (cols 6..11 inactive) so the landmark coupling Wt assembles
-            # from uniform (3,12) blocks without a column remap
+            # from uniform (3,12) blocks without a column remap.
+            # c == n_ext (virtual stereo row) has no extrinsic columns; its
+            # Jext blocks are zeroed, so clamp into bounds — the zeros land
+            # harmlessly in the last real extrinsic group.
+            c = min(c, max(n_ext - 1, 0))
             base = _np.concatenate([base, 12 * n_poses + 12 * c + _np.arange(6)])
         cols[s_i] = base
     # dump structure (index 0) carries zero blocks; its columns are 0..w-1
@@ -1451,7 +1485,10 @@ def make_landmark_tables(mg_lm, mg_pair, mg_cam, mg_valid,
     base = _np.arange(Em, dtype=_np.int64)
     add(mg_lm, mg_valid, base, mg_pair[:, 0])
     add(mg_lm, mg_valid, base + Em, mg_pair[:, 1])
-    add(mg_lm, mg_valid, base + 2 * Em, n_poses + mg_cam)
+    # clamp the virtual stereo row (cam == n_ext) into the last real
+    # extrinsic group: its coupling blocks are zero, placement is moot
+    add(mg_lm, mg_valid, base + 2 * Em,
+        n_poses + _np.minimum(mg_cam, max(n_ext - 1, 0)))
     baseg = _np.arange(Eg, dtype=_np.int64)
     add(sg_lm, sg_valid, baseg + 3 * Em, sg_pair[:, 0])
     add(sg_lm, sg_valid, baseg + 3 * Em + Eg, sg_pair[:, 1])

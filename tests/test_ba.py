@@ -214,3 +214,47 @@ def test_extrinsic_phase2_recovers_perturbed_text():
     e0 = ext_err(Text_p[0])
     e1 = ext_err(np.asarray(res.state.Text)[0])
     assert e1 < 0.3 * e0, (e0, e1)
+
+
+def test_stereo_camera_mono_gp_edges():
+    """A GPObs on the stereo camera with no right match is a plain mono-GP
+    edge whose cam index equals n_ext — the virtual stereo row
+    (Optimizer.cc:281-303 consumes EdgeMonoGP for *any* camera; extrinsic
+    vertices exist only for async cameras, Optimizer.cc:983-996). The edge
+    must produce finite residuals through the stereo Tbc/K and must never
+    move the (non-existent) stereo extrinsic vertex."""
+    from amcslam_tpu.solver.ba import _mono_gp_residuals, with_landmark_tables
+
+    data, state0, gt = small_problem(n_lm=64, gpobs_per_lm=1, seed=11)
+    Cx = data.n_ext
+    mgv = np.asarray(data.mg_valid)
+    idx = np.where(mgv)[0][::5]
+    cam2 = np.asarray(data.mg_cam).copy()
+    cam2[idx] = Cx  # retarget to the stereo camera
+    d2 = data._replace(mg_cam=jnp.asarray(cam2))
+    # consistent observations at ground truth (residual with obs=0 = -proj)
+    proj = -np.asarray(
+        _mono_gp_residuals(d2._replace(mg_obs=jnp.zeros_like(d2.mg_obs)), gt)
+    )
+    ok = np.isfinite(proj).all(1) & (np.abs(proj) < 5000).all(1)
+    obs = np.asarray(data.mg_obs).copy()
+    obs[idx] = proj[idx]
+    valid2 = mgv.copy()
+    valid2[idx] &= ok[idx]
+    assert valid2[idx].sum() > 5
+    d2 = d2._replace(mg_obs=jnp.asarray(obs), mg_valid=jnp.asarray(valid2))
+    d2 = with_landmark_tables(d2, int(np.asarray(gt.X).shape[0]))
+
+    problem = make_ba_problem(d2, d2.mg_valid, d2.sg_valid, d2.st_valid)
+    chi0 = float(problem.chi2(state0))
+    assert np.isfinite(chi0)
+    Text_before = np.asarray(state0.Text).copy()
+    res = jax.jit(
+        lambda s: local_gp_ba(d2, s, b_extrinsic=True, ext_min_obs=1)
+    )(state0)
+    assert bool(res.ok)
+    assert np.isfinite(float(res.err_final))
+    assert float(res.err_final) < chi0
+    assert np.isfinite(np.asarray(res.state.T)).all()
+    # the stereo camera has no extrinsic vertex: Text keeps its (Cx,) shape
+    assert np.asarray(res.state.Text).shape == Text_before.shape
