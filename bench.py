@@ -45,6 +45,7 @@ from amcslam_tpu.solver.pose_solver import pose_gp_optimize  # noqa: E402
 from amcslam_tpu.solver.sim3_opt import (  # noqa: E402
     make_essential_graph_problem,
     make_essential_graph_problem_pcg,
+    optimize_essential_graph,
 )
 from amcslam_tpu.solver.vi_ba import make_vi_ba_problem  # noqa: E402
 from amcslam_tpu.utils.synthetic import (  # noqa: E402
@@ -158,6 +159,44 @@ def bench_essential_graph_5k():
     return ms
 
 
+def bench_10km_ate():
+    """Config 5e: the at-scale north star — a 10 km / 4-lap drifted
+    trajectory (2000 KF at 5 m spacing) with revisit loop closures, solved
+    by the PCG essential graph; reports TUM-style aligned ATE as a percent
+    of path length (reference contract: <= 0.5%)."""
+    kf, laps, step = (64, 2, 5.0) if SMOKE else (2000, 4, 5.0)
+    data, state0, Ts_gt = make_essential_graph(
+        n_kf=kf, n_loop=60, drift=0.002, seed=4, dtype=DTYPE,
+        step_m=step, laps=laps)
+    path_len = kf * step
+    _log(f"sim3_graph_10km: N={kf} E={data.pairs.shape[0]} "
+         f"path={path_len/1000:.1f} km (PCG)")
+    out, _ = jax.jit(
+        lambda s: optimize_essential_graph(data, s, use_pcg=True)
+    )(state0)
+    jax.block_until_ready(out.t)
+
+    def centers(field):
+        s = np.asarray(field.s)[:, None]
+        R = np.asarray(field.R)
+        t = np.asarray(field.t)
+        return -np.einsum("kij,kj->ki", R.transpose(0, 2, 1), t) / s
+
+    def ate(p, g):
+        mp_, mg = p.mean(0), g.mean(0)
+        U, _, Vt = np.linalg.svd((g - mg).T @ (p - mp_))
+        D = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+        Ra = U @ D @ Vt
+        e = (p @ Ra.T + (mg - Ra @ mp_)) - g
+        return float(np.sqrt((e**2).sum(1).mean()))
+
+    pg = Ts_gt[:, :3, 3]
+    a0 = ate(centers(state0), pg)
+    a1 = ate(centers(out), pg)
+    _log(f"  aligned ATE {a0:.2f} -> {a1:.2f} m")
+    return 100.0 * a1 / path_len
+
+
 def bench_global_ba_pcg():
     """Config 5d: at-scale global BA (2000 KF / 10k pts) with the matrix-free
     Schur PCG backend — the dense reduced system would be 24k x 24k."""
@@ -254,6 +293,10 @@ def main():
     _log("config 5c: Sim3 essential graph at 5000 KF (PCG)")
     results["sim3_graph_5k_ms_per_iter"] = round(bench_essential_graph_5k(), 4)
     _log(f"  {results['sim3_graph_5k_ms_per_iter']:.3f} ms/iter")
+
+    _log("config 5e: 10 km / 4-lap pose graph, aligned ATE after PCG closure")
+    results["sim3_graph_10km_ate_pct"] = round(bench_10km_ate(), 4)
+    _log(f"  {results['sim3_graph_10km_ate_pct']:.4f}% of path (contract: <=0.5%)")
 
     _log("config 5d: global BA at 2000 KF / 10k pts (Schur PCG)")
     results["global_ba_pcg_2k_ms_per_iter"] = round(bench_global_ba_pcg(), 4)
