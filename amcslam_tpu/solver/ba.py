@@ -37,6 +37,11 @@ from ..ops import gp, lie
 from . import robust
 from .lm import LMProblem, lm_optimize
 
+# Env-gated PCG convergence tracing (iteration count + relative residual).
+import os as _os
+
+_PCG_DEBUG = _os.environ.get("AMCSLAM_PCG_DEBUG", "") == "1"
+
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
 TH_HUBER_MONO = float(np.sqrt(5.991))
@@ -822,6 +827,7 @@ def make_ba_problem_pcg(
     ext_active=None,
     pcg_iters: int = 200,
     pcg_tol: float = 1e-10,
+    precond: str = "jacobi",
 ) -> LMProblem:
     """Matrix-free Schur-complement BA for at-scale keyframe counts (the
     rebuild of LinearSolverEigen's sparse Cholesky used by the reference's
@@ -1138,19 +1144,53 @@ def make_ba_problem_pcg(
         bs12 = bp12 - c12
         bse = bext - ce if Cx else bext
 
-        # block-Jacobi preconditioner (damped)
-        P12 = jnp.linalg.inv(
-            D12 + jnp.eye(12, dtype=dtype)[None] * damp12[:, None, None]
-        )
-        Pe = (
-            jnp.linalg.inv(Dext + jnp.eye(6, dtype=dtype)[None] * dampe[:, None, None])
-            if Cx
-            else jnp.zeros((0, 6, 6), dtype)
-        )
+        def _schur_diag_sub(Jp, Jl, w, lm_idx, seg, n, d):
+            A = jnp.einsum("eri,e,erj->eij", Jp, w, Jl)  # (E, d, 3)
+            AH = jnp.einsum("eab,ebc->eac", A, Hll_inv[lm_idx])
+            C = jnp.einsum("eac,edc->ead", AH, A)  # (E, d, d)
+            return jax.ops.segment_sum(C, seg, n)
 
-        def precond(r12, re):
+        if precond == "jacobi":
+            Dblk = D12
+        else:
+            # Schur-Jacobi (Ceres SCHUR_JACOBI): the block diagonal of S
+            # itself — Hpp's diagonal blocks minus each edge's W Hll^-1 W^T
+            # contribution (per-edge approximation, exact when a
+            # (pose, landmark) pair is observed by a single edge). Measured
+            # on-chip at 2000 KF / 10k pts: cuts CG iterations only 31 -> 29
+            # while its (E,12,12) scatter setup costs more than it saves
+            # (162 vs 156 ms/LM-iter) — hence plain Jacobi is the default.
+            # (A chain-segment block preconditioner capturing the GP-prior
+            # cross blocks was also measured: no iteration reduction at all;
+            # the conditioning is landmark-coupling-, not chain-, limited.)
+            Dblk = D12 - (
+                _schur_diag_sub(J1m, Jlm, w_m, lm_m, im, K, 12)
+                + _schur_diag_sub(J2m, Jlm, w_m, lm_m, jm, K, 12)
+                + _schur_diag_sub(J1g, Jlg, w_g, lm_g, ig, K, 12)
+                + _schur_diag_sub(J2g, Jlg, w_g, lm_g, jg, K, 12)
+                + _schur_diag_sub(J3, Jls, w_s, lm_s, p_, K, 12)
+            )
+        Dblk = Dblk + jnp.eye(12, dtype=dtype)[None] * damp12[:, None, None]
+        P12 = jnp.linalg.inv(Dblk)
+
+        def _p12(r12):
+            return jnp.einsum("kab,kb->ka", P12, r12)
+
+        if Cx:
+            Ce = (
+                _schur_diag_sub(Jem, Jlm, w_m, lm_m, cm, Cx, 6)
+                if precond != "jacobi"
+                else jnp.zeros((Cx, 6, 6), dtype)
+            )
+            Pe = jnp.linalg.inv(
+                Dext - Ce + jnp.eye(6, dtype=dtype)[None] * dampe[:, None, None]
+            )
+        else:
+            Pe = jnp.zeros((0, 6, 6), dtype)
+
+        def apply_precond(r12, re):
             return (
-                jnp.einsum("kab,kb->ka", P12, r12),
+                _p12(r12),
                 jnp.einsum("cab,cb->ca", Pe, re) if Cx else re,
             )
 
@@ -1163,7 +1203,7 @@ def make_ba_problem_pcg(
         x12 = jnp.zeros((K, 12), dtype)
         xe = jnp.zeros((Cx, 6), dtype)
         r12, re = bs12, bse
-        z12, ze = precond(r12, re)
+        z12, ze = apply_precond(r12, re)
         p12, pe = z12, ze
         rz = dot(r12, re, z12, ze)
         bnorm = jnp.maximum(dot(bs12, bse, bs12, bse), jnp.asarray(1e-30, dtype))
@@ -1178,7 +1218,7 @@ def make_ba_problem_pcg(
             xen = xe + alpha * pe
             r12n = r12 - alpha * Hp12
             ren = re - alpha * Hpe
-            z12n, zen = precond(r12n, ren)
+            z12n, zen = apply_precond(r12n, ren)
             rz_new = dot(r12n, ren, z12n, zen)
             beta = rz_new / jnp.maximum(rz, jnp.asarray(1e-30, dtype))
             return (
@@ -1190,9 +1230,14 @@ def make_ba_problem_pcg(
             x12, xe, r12, re, *_, it = c
             return (it < pcg_iters) & (dot(r12, re, r12, re) > pcg_tol * bnorm)
 
-        x12, xe, *_ = jax.lax.while_loop(
+        x12, xe, r12_f, re_f, _, _, _, it_f = jax.lax.while_loop(
             cond, body, (x12, xe, r12, re, p12, pe, rz, 0)
         )
+        if _PCG_DEBUG:
+            jax.debug.print(
+                "ba-pcg iters={it} rel_res={rr:.3e}",
+                it=it_f, rr=dot(r12_f, re_f, r12_f, re_f) / bnorm,
+            )
 
         # landmark back-substitution
         y = Wt_x(x12, xe)

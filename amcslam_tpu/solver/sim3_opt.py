@@ -32,6 +32,11 @@ from ..ops.sim3 import Sim3
 from . import robust
 from .lm import LMProblem, lm_optimize
 
+# Env-gated PCG convergence tracing (iteration count + relative residual).
+import os as _os
+
+_PCG_DEBUG = _os.environ.get("AMCSLAM_PCG_DEBUG", "") == "1"
+
 
 # ---------------------------------------------------------------------------
 # OptimizeSim3
@@ -376,7 +381,14 @@ def make_essential_graph_problem_pcg(
             x, rr, _, _, _, it = c
             return (it < pcg_iters) & (dot(rr, rr) > pcg_tol * bnorm)
 
-        x, *_ = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+        x, rr_f, _, _, _, it_f = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, p0, rz0, 0)
+        )
+        if _PCG_DEBUG:
+            jax.debug.print(
+                "eg-pcg iters={it} rel_res={rr:.3e}",
+                it=it_f, rr=dot(rr_f, rr_f) / bnorm,
+            )
         dx = x.reshape(-1)
         return dx, dx @ dx, dx @ b.reshape(-1)
 

@@ -184,6 +184,31 @@ def test_pcg_single_solve_matches_dense_solve():
     np.testing.assert_allclose(float(xb_p), float(xb_d), rtol=1e-6)
 
 
+def test_pcg_schur_jacobi_precond_matches_dense_solve():
+    """The optional SCHUR_JACOBI preconditioner (block diagonal of S itself)
+    must not change the solution — only the CG iteration count. Kept as a
+    tested option; plain block-Jacobi is the default (measured faster
+    end-to-end on chip at 2000 KF / 10k pts)."""
+    from amcslam_tpu.solver.ba import make_ba_problem_pcg
+
+    data, state0, gt = small_problem(noise_px=0.3, seed=7)
+    lvl = (data.mg_valid, data.sg_valid, data.st_valid)
+    dense = make_ba_problem(data, *lvl, huber_on=True)
+    pcg = make_ba_problem_pcg(data, *lvl, huber_on=True, pcg_iters=400,
+                              pcg_tol=1e-16, precond="schur_jacobi")
+    lam = jnp.asarray(1e-3, F64)
+    dx_d, xx_d, xb_d = dense.solve(dense.linearize(state0), lam)
+    dx_p, xx_p, xb_p = pcg.solve(pcg.linearize(state0), lam)
+    dxp_d, dxl_d = dx_d
+    x12_p, xe_p, dxl_p = dx_p
+    K = data.n_poses
+    np.testing.assert_allclose(
+        np.asarray(dxp_d[: 12 * K]).reshape(K, 12), np.asarray(x12_p),
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(np.asarray(dxl_d), np.asarray(dxl_p), atol=1e-7)
+
+
 def test_extrinsic_phase2_recovers_perturbed_text():
     """LocalGPBA phase 2 (b_extrinsic, Optimizer.cc:1227-1240): with
     observations generated under the TRUE extrinsic and the state's Text
