@@ -170,3 +170,93 @@ def triangulate_dlt(ray1: jax.Array, ray2: jax.Array, Tcw1: jax.Array, Tcw2: jax
     w = Xh[3]
     X = Xh[:3] / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
     return X, w
+
+
+# ---------------------------------------------------------------------------
+# Epipolar gating through the camera API (GeometricCamera::epipolarConstrain
+# / matchAndtriangulate). Two behaviors exist upstream:
+#   - Pinhole (Pinhole.cpp:107-129): point-to-epipolar-line distance through
+#     F12 = K1^-T [t12]x R12 K2^-1, gate 3.84 * unc.
+#   - KannalaBrandt8 (KannalaBrandt8.cpp:216-221, 306-392): fisheye rays have
+#     no linear epipolar line in pixel space, so the check IS a triangulation:
+#     parallax gate (cos > 0.9998 rejects), DLT, cheirality in both views,
+#     and 5.991-sigma reprojection chi2 in both images; epipolarConstrain is
+#     TriangulateMatches(...) > 1e-4.
+# Both are batched over match candidates (vmap axis N).
+# ---------------------------------------------------------------------------
+
+
+def epipolar_constrain_pinhole(
+    params1: jax.Array, params2: jax.Array, kp1: jax.Array, kp2: jax.Array,
+    R12: jax.Array, t12: jax.Array, unc: jax.Array,
+) -> jax.Array:
+    """Pinhole::epipolarConstrain, batched: kp1/kp2 (N,2), unc (N,) is the
+    octave sigma2 of kp2. Returns (N,) bool."""
+    fx1, fy1, cx1, cy1 = params1[0], params1[1], params1[2], params1[3]
+    fx2, fy2, cx2, cy2 = params2[0], params2[1], params2[2], params2[3]
+    K1 = jnp.array([[fx1, 0.0, cx1], [0.0, fy1, cy1], [0.0, 0.0, 1.0]])
+    K2 = jnp.array([[fx2, 0.0, cx2], [0.0, fy2, cy2], [0.0, 0.0, 1.0]])
+    tx = jnp.array([
+        [0.0, -t12[2], t12[1]],
+        [t12[2], 0.0, -t12[0]],
+        [-t12[1], t12[0], 0.0],
+    ])
+    F12 = jnp.linalg.inv(K1).T @ tx @ R12 @ jnp.linalg.inv(K2)
+    kp1h = jnp.concatenate([kp1, jnp.ones_like(kp1[:, :1])], axis=1)
+    l2 = kp1h @ F12  # (N,3): epipolar line in image 2 (a,b,c)
+    num = jnp.sum(l2[:, :2] * kp2, axis=1) + l2[:, 2]
+    den = l2[:, 0] ** 2 + l2[:, 1] ** 2
+    return (den > 0) & (num * num / jnp.maximum(den, 1e-30) < 3.84 * unc)
+
+
+def triangulate_matches(
+    unproject1, unproject2, project1, project2,
+    params1: jax.Array, params2: jax.Array,
+    kp1: jax.Array, kp2: jax.Array,
+    R12: jax.Array, t12: jax.Array,
+    sigma2_1: jax.Array, sigma2_2: jax.Array,
+):
+    """GeometricCamera::matchAndtriangulate / KB8::TriangulateMatches,
+    batched: unproject/project are the model functions above (partial-apply
+    agnostic), kp* (N,2), sigma2_* (N,). Returns (z1 (N,), p3D (N,3) in
+    camera-1 frame); z1 <= 0 encodes rejection exactly as the reference's
+    negative return codes (parallax, cheirality, chi2)."""
+    r1 = jax.vmap(lambda uv: unproject1(params1, uv))(kp1)  # (N,3)
+    r2 = jax.vmap(lambda uv: unproject2(params2, uv))(kp2)
+    r21 = r2 @ R12.T
+    cos_par = jnp.sum(r1 * r21, 1) / (
+        jnp.linalg.norm(r1, axis=1) * jnp.linalg.norm(r21, axis=1)
+    )
+    Tcw1 = jnp.eye(4)
+    R21 = R12.T
+    Tcw2 = jnp.eye(4).at[:3, :3].set(R21).at[:3, 3].set(-R21 @ t12)
+    ray1 = r1 / r1[:, 2:3]
+    ray2 = r2 / r2[:, 2:3]
+    X, w = jax.vmap(lambda a, b: triangulate_dlt(a, b, Tcw1, Tcw2))(ray1, ray2)
+    z1 = X[:, 2]
+    X2 = X @ R21.T + (-R21 @ t12)
+    uv1 = jax.vmap(lambda x: project1(params1, x))(X)
+    uv2 = jax.vmap(lambda x: project2(params2, x))(X2)
+    e1 = jnp.sum((uv1 - kp1) ** 2, 1)
+    e2 = jnp.sum((uv2 - kp2) ** 2, 1)
+    ok = (
+        (cos_par <= 0.9998)
+        & (z1 > 0)
+        & (X2[:, 2] > 0)
+        & (e1 <= 5.991 * sigma2_1)
+        & (e2 <= 5.991 * sigma2_2)
+        & (jnp.abs(w) > 1e-12)
+    )
+    return jnp.where(ok, z1, -1.0), X
+
+
+def epipolar_constrain_kb8(
+    params1: jax.Array, params2: jax.Array, kp1: jax.Array, kp2: jax.Array,
+    R12: jax.Array, t12: jax.Array, sigma2_1: jax.Array, sigma2_2: jax.Array,
+) -> jax.Array:
+    """KannalaBrandt8::epipolarConstrain (triangulation > 1e-4), batched."""
+    z1, _ = triangulate_matches(
+        unproject_kb8, unproject_kb8, project_kb8, project_kb8,
+        params1, params2, kp1, kp2, R12, t12, sigma2_1, sigma2_2,
+    )
+    return z1 > 1e-4

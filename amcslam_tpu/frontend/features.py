@@ -48,6 +48,32 @@ class ORBExtractor:
         return self._orb.extract(np.asarray(image))
 
 
+def make_extractors(n: int, n_features=1200, backend: str | None = None,
+                    **kw) -> list:
+    """Construct the per-camera extractor bank with a selectable backend:
+
+    - "host" (default): frontend/orb.py — native C++ fast path when the
+      extension builds, bit-identical NumPy otherwise; fanned out over a
+      thread pool per camera (the reference's OpenMP axis, Frame.cc:213).
+    - "tpu": frontend/orb_tpu.py — the whole extraction pipeline as one
+      jitted XLA program over the camera batch (one device dispatch per
+      frame). The right choice when the host is a single core driving an
+      accelerator.
+
+    Resolution order: explicit arg > AMCSLAM_ORB_BACKEND env > "host".
+    """
+    import os
+
+    backend = backend or os.environ.get("AMCSLAM_ORB_BACKEND", "host")
+    if backend == "tpu":
+        from .orb_tpu import ORBExtractorTPU
+
+        return [ORBExtractorTPU(n_features=n_features, **kw) for _ in range(n)]
+    if backend != "host":
+        raise ValueError(f"unknown ORB backend {backend!r}")
+    return [ORBExtractor(n_features=n_features, **kw) for _ in range(n)]
+
+
 def stereo_match_depth(
     kp_l, desc_l, kp_r, desc_r, bf: float, row_tol: float = 2.0,
     max_dist: int = 60, min_disp: float = 0.1,
@@ -82,18 +108,42 @@ def build_frame(
     """MultiFrame construction (Frame.cc:179-281): parallel per-camera
     extraction + undistortion, stereo depth, velocity carry-over is done by
     Tracking. `images` holds the N async + left-stereo images; `right_image`
-    the stereo right."""
-    with ThreadPoolExecutor(max_workers=len(images) + 1) as pool:
-        futs = [
-            pool.submit(extractors[c].extract, images[c]) for c in range(len(images))
-        ]
-        fut_r = (
-            pool.submit(extractors[-1].extract, right_image)
+    the stereo right.
+
+    When every extractor is the on-device backend with a uniform feature
+    budget and all images share one shape, the whole rig (async cameras +
+    stereo left + stereo right) extracts in a SINGLE batched device
+    dispatch — the TPU replacement for the reference's OpenMP fan-out."""
+    all_imgs = list(images) + ([right_image] if right_image is not None else [])
+    batched = (
+        hasattr(extractors[-1], "extract_batch")
+        and len({e.n_features for e in extractors}) == 1
+        and len({type(e) for e in extractors}) == 1
+        and len({np.asarray(im).shape for im in all_imgs}) == 1
+    )
+    if batched:
+        xys, octs_b, descs_b, angs_b = extractors[-1].extract_batch(
+            np.stack([np.asarray(im) for im in all_imgs])
+        )
+        results = list(zip(xys, octs_b, descs_b, angs_b))[: len(images)]
+        right = (
+            tuple(z[len(images)] for z in (xys, octs_b, descs_b, angs_b))
             if right_image is not None
             else None
         )
-        results = [f.result() for f in futs]
-        right = fut_r.result() if fut_r is not None else None
+    else:
+        with ThreadPoolExecutor(max_workers=len(images) + 1) as pool:
+            futs = [
+                pool.submit(extractors[c].extract, images[c])
+                for c in range(len(images))
+            ]
+            fut_r = (
+                pool.submit(extractors[-1].extract, right_image)
+                if right_image is not None
+                else None
+            )
+            results = [f.result() for f in futs]
+            right = fut_r.result() if fut_r is not None else None
 
     kps = [r[0] for r in results]
     octs = [r[1] for r in results]

@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-from amcslam_tpu.frontend.features import ORBExtractor, build_frame
+from amcslam_tpu.frontend.features import build_frame, make_extractors
 from amcslam_tpu.pipeline.rig import Rig
 from amcslam_tpu.pipeline.system import System
 from amcslam_tpu.pipeline.tracking import TrackingConfig
@@ -143,7 +143,7 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         planes = make_world(seed)
         pose_fn = gt_pose
     rig = make_rig()
-    extractors = [ORBExtractor(n_features=n_features) for _ in range(4)]
+    extractors = make_extractors(4, n_features)
     cfg = TrackingConfig(max_frames_between_kf=5, min_local_matches=15,
                          ransac_min_match=15)
     slam = System(rig, tracking_config=cfg, threaded=threaded)

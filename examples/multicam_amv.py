@@ -22,7 +22,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from amcslam_tpu.frontend.features import ORBExtractor, build_frame
+from amcslam_tpu.frontend.features import build_frame, make_extractors
 from amcslam_tpu.pipeline.config import load_config
 from amcslam_tpu.pipeline.system import System
 from amcslam_tpu.utils.io import load_amv_images
@@ -48,7 +48,7 @@ def main():
         ticks, stamps = ticks[: args.max_frames], stamps[: args.max_frames]
     print(f"{len(ticks)} ticks, {n_cams} cameras")
 
-    extractors = [ORBExtractor(cfg.n_features) for _ in range(n_cams)]
+    extractors = make_extractors(n_cams, cfg.n_features)
     slam = System(rig, cfg.tracking, enable_loop_closing=cfg.loop_closing,
                   b_extrinsic=cfg.extrinsic_refine)
 

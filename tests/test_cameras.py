@@ -58,3 +58,74 @@ def test_triangulate_dlt():
     r2 = lie.transform_point(Tcw2, X)
     Xt, w = cameras.triangulate_dlt(r1 / r1[2], r2 / r2[2], Tcw1, Tcw2)
     np.testing.assert_allclose(np.asarray(Xt), np.asarray(X), atol=1e-8)
+
+
+def test_epipolar_constrain_pinhole_gates():
+    """Pinhole::epipolarConstrain (Pinhole.cpp:107-129): true matches under a
+    known relative pose pass the 3.84-sigma line gate, off-epipolar ones
+    fail."""
+    import numpy as np
+    from amcslam_tpu.frontend.cameras import (
+        epipolar_constrain_pinhole, project_pinhole,
+    )
+
+    rng = np.random.RandomState(3)
+    params = jnp.asarray([120.0, 120.0, 80.0, 60.0])
+    R12 = np.eye(3)
+    t12 = np.array([0.3, 0.0, 0.0])
+    X2 = np.stack([rng.uniform(-1, 1, 20), rng.uniform(-1, 1, 20),
+                   rng.uniform(3, 8, 20)], 1)
+    X1 = X2 @ R12.T + t12
+    kp1 = np.asarray(jax.vmap(lambda x: project_pinhole(params, x))(
+        jnp.asarray(X1)))
+    kp2 = np.asarray(jax.vmap(lambda x: project_pinhole(params, x))(
+        jnp.asarray(X2)))
+    unc = jnp.ones(20)
+    ok = epipolar_constrain_pinhole(
+        params, params, jnp.asarray(kp1), jnp.asarray(kp2),
+        jnp.asarray(R12), jnp.asarray(t12), unc)
+    assert bool(jnp.all(ok))
+    # push kp2 off the epipolar line (perpendicular = y for x-baseline)
+    kp2_bad = kp2 + np.array([0.0, 9.0])
+    bad = epipolar_constrain_pinhole(
+        params, params, jnp.asarray(kp1), jnp.asarray(kp2_bad),
+        jnp.asarray(R12), jnp.asarray(t12), unc)
+    assert not bool(jnp.any(bad))
+
+
+def test_triangulate_matches_kb8_recovers_depth():
+    """KB8::TriangulateMatches (KannalaBrandt8.cpp:306-392): true fisheye
+    correspondences triangulate to the right depth; zero-parallax pairs are
+    rejected with z1 <= 0."""
+    import numpy as np
+    from amcslam_tpu.frontend.cameras import (
+        epipolar_constrain_kb8, project_kb8, triangulate_matches,
+        unproject_kb8,
+    )
+
+    rng = np.random.RandomState(4)
+    params = jnp.asarray([285.0, 285.0, 320.0, 240.0,
+                          -0.007, 0.04, -0.035, 0.005])
+    R12 = np.eye(3)
+    t12 = np.array([0.5, 0.05, 0.0])
+    X1 = np.stack([rng.uniform(-2, 2, 16), rng.uniform(-2, 2, 16),
+                   rng.uniform(4, 9, 16)], 1)
+    X2 = (X1 - t12) @ R12
+    kp1 = np.asarray(jax.vmap(lambda x: project_kb8(params, x))(jnp.asarray(X1)))
+    kp2 = np.asarray(jax.vmap(lambda x: project_kb8(params, x))(jnp.asarray(X2)))
+    s2 = jnp.ones(16)
+    z1, p3d = triangulate_matches(
+        unproject_kb8, unproject_kb8, project_kb8, project_kb8,
+        params, params, jnp.asarray(kp1), jnp.asarray(kp2),
+        jnp.asarray(R12), jnp.asarray(t12), s2, s2)
+    assert bool(jnp.all(z1 > 0))
+    np.testing.assert_allclose(np.asarray(p3d), X1, rtol=2e-2, atol=2e-2)
+    assert bool(jnp.all(epipolar_constrain_kb8(
+        params, params, jnp.asarray(kp1), jnp.asarray(kp2),
+        jnp.asarray(R12), jnp.asarray(t12), s2, s2)))
+    # zero baseline => pure-rotation pair: parallax gate must reject
+    z0, _ = triangulate_matches(
+        unproject_kb8, unproject_kb8, project_kb8, project_kb8,
+        params, params, jnp.asarray(kp1), jnp.asarray(kp1),
+        jnp.asarray(R12), jnp.zeros(3), s2, s2)
+    assert bool(jnp.all(z0 <= 0))

@@ -54,3 +54,36 @@ def test_orb_tpu_matches_numpy_semantics():
     # descriptors of co-located keypoints agree almost bit-for-bit (same
     # BRIEF pattern, same blur, same orientation formula)
     assert np.median(hamm) <= 8, np.median(hamm)
+
+
+@pytest.mark.slow
+def test_build_frame_tpu_backend_single_dispatch():
+    """make_extractors(backend='tpu') + build_frame: the whole rig extracts
+    through the batched on-device path (one extract_batch call) and yields a
+    Frame with populated per-camera features and stereo depth."""
+    from amcslam_tpu.frontend.features import build_frame, make_extractors
+    from amcslam_tpu.pipeline.rig import Rig
+
+    rng = np.random.RandomState(1)
+    H, W = 120, 160
+    imgs = [_structured_image(rng, H, W) for _ in range(3)]
+    # stereo right = left shifted 4 px (disparity) so row matching succeeds
+    img_r = np.roll(imgs[-1], -4, axis=1)
+
+    K = np.array([100.0, 100.0, W / 2, H / 2])
+    rig = Rig(Tbc=np.stack([np.eye(4)] * 3), K=np.stack([K] * 3), bf=40.0)
+
+    exts = make_extractors(3, n_features=150, backend="tpu", n_levels=2)
+    calls = {"n": 0}
+    orig = exts[-1].extract_batch
+
+    def counting(images):
+        calls["n"] += 1
+        return orig(images)
+
+    exts[-1].extract_batch = counting
+    frame = build_frame(imgs, np.array([0.0, 0.01, 0.02]), rig, exts,
+                        right_image=img_r)
+    assert calls["n"] == 1, "rig must extract in one batched dispatch"
+    assert all(len(frame.keypoints[c]) > 20 for c in range(3))
+    assert frame.kp_depth is not None and (frame.kp_depth > 0).sum() > 5

@@ -21,6 +21,14 @@ def mesh():
     return Mesh(np.array(devs[:8]), ("l",))
 
 
+@pytest.fixture(scope="module")
+def mesh_e():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("e",))
+
+
 def test_sharded_matches_single_chip(mesh):
     data, state0, gt = make_local_ba_problem(
         n_kf=4, n_fixed=1, n_lm=32, obs_per_lm=2, seed=7
@@ -84,3 +92,46 @@ def test_sharded_global_ba_matches_single_chip(mesh):
     s2, st2 = jax.jit(lambda s: lm_optimize(sharded, s, 4, lambda_init=1e-5))(sb.state0)
     np.testing.assert_allclose(float(st2.chi2), float(st1.chi2), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T), atol=1e-8)
+
+
+def test_sharded_essential_graph_matches_single_device(mesh_e):
+    """Edge-sharded PCG essential graph (parallel/sharded_eg.py) reproduces
+    the single-device matrix-free PCG path: chi2, linearized D/b, one damped
+    solve, and a full jitted 5-iteration LM run."""
+    from amcslam_tpu.parallel.sharded_eg import (
+        make_sharded_eg_problem,
+        shard_eg_data,
+    )
+    from amcslam_tpu.solver.sim3_opt import make_essential_graph_problem_pcg
+    from amcslam_tpu.utils.synthetic import make_essential_graph
+
+    data, state0, _ = make_essential_graph(n_kf=48, n_loop=6, seed=3)
+    single = make_essential_graph_problem_pcg(data)
+    se = shard_eg_data(data, 8)
+    sharded = make_sharded_eg_problem(mesh_e, se)
+
+    c1 = float(jax.jit(single.chi2)(state0))
+    c2 = float(jax.jit(sharded.chi2)(state0))
+    np.testing.assert_allclose(c2, c1, rtol=1e-12)
+
+    lin1 = jax.jit(single.linearize)(state0)
+    lin2 = jax.jit(sharded.linearize)(state0)
+    # D and b (replicated outputs) must agree
+    np.testing.assert_allclose(np.asarray(lin2[4]), np.asarray(lin1[4]),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(lin2[5]), np.asarray(lin1[5]),
+                               atol=1e-9)
+
+    lam = jnp.asarray(1e-6, jnp.float64)
+    dx1, xx1, xb1 = jax.jit(single.solve)(lin1, lam)
+    dx2, xx2, xb2 = jax.jit(sharded.solve)(lin2, lam)
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx1), atol=1e-7)
+    np.testing.assert_allclose(float(xx2), float(xx1), rtol=1e-7)
+    np.testing.assert_allclose(float(xb2), float(xb1), rtol=1e-7)
+
+    run1 = jax.jit(lambda s: lm_optimize(single, s, 5, lambda_init=1e-16))
+    run2 = jax.jit(lambda s: lm_optimize(sharded, s, 5, lambda_init=1e-16))
+    s1, st1 = run1(state0)
+    s2, st2 = run2(state0)
+    np.testing.assert_allclose(float(st2.chi2), float(st1.chi2), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2.t), np.asarray(s1.t), atol=1e-7)
