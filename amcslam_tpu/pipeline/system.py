@@ -170,6 +170,56 @@ class System:
                     f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
                 )
 
+    def save_trajectory_euroc(self, path: str):
+        """SaveTrajectoryEuRoC (System.cc:481-680): same loop-consistent
+        recomposition as TUM, EuRoC convention — timestamps in nanoseconds,
+        poses from the map with the most keyframes."""
+        from scipy.spatial.transform import Rotation
+
+        with open(path, "w") as f:
+            for t, Twb in self.tracker.trajectory_poses():
+                q = Rotation.from_matrix(Twb[:3, :3]).as_quat()
+                p = Twb[:3, 3]
+                f.write(
+                    f"{t * 1e9:.6f} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f} "
+                    f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n"
+                )
+
+    def save_keyframe_trajectory_euroc(self, path: str):
+        """SaveKeyFrameTrajectoryEuRoC (System.cc:850-897): keyframe poses
+        of the biggest map, nanosecond timestamps."""
+        from scipy.spatial.transform import Rotation
+
+        maps = getattr(self.atlas, "maps", None) or [self.atlas.active]
+        biggest = max(maps, key=lambda m: len(m.keyframes))
+        kfs = sorted(biggest.keyframes.values(), key=lambda k: k.timestamp)
+        with open(path, "w") as f:
+            for k in kfs:
+                if k.bad:
+                    continue
+                q = Rotation.from_matrix(k.Twb[:3, :3]).as_quat()
+                p = k.Twb[:3, 3]
+                f.write(
+                    f"{k.timestamp * 1e9:.6f} {p[0]:.9f} {p[1]:.9f} {p[2]:.9f} "
+                    f"{q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f}\n"
+                )
+
+    def save_trajectory_kitti(self, path: str):
+        """SaveTrajectoryKITTI (System.cc:969-1020): per-frame 3x4 row-major
+        pose matrices, re-expressed so the FIRST keyframe sits at the origin
+        (after a loop closure it may not), frames recomposed against the
+        corrected keyframe poses exactly as the TUM saver."""
+        kfs = sorted(self.atlas.active.keyframes.values(), key=lambda k: k.id)
+        T0 = kfs[0].Twb if kfs else np.eye(4)
+        T0_inv = np.linalg.inv(T0)
+        with open(path, "w") as f:
+            for _, Twb in self.tracker.trajectory_poses():
+                M = T0_inv @ Twb
+                f.write(
+                    " ".join(f"{M[r, c]:.9f}" for r in range(3) for c in range(4))
+                    + "\n"
+                )
+
     # ------------------------------------------------------------------
     def save_atlas(self, path: str):
         """SaveAtlas with md5 checksum (System.h:194-197, CalculateCheckSum)."""

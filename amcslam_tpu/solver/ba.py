@@ -1099,11 +1099,17 @@ def make_ba_problem_pcg(
             return scatter_back(v_m, v_g, v_s, K, Cx)
 
         def Sx(xp, xe):
-            """Schur-complement product S x (pose+extrinsic blocks)."""
+            """Schur-complement product S x (pose+extrinsic blocks).
+
+            The weighted edge products w (J x) are computed ONCE and feed
+            both the Hpp x scatter and the W^T x landmark reduction (the
+            two consumers below) — one pass over the edge arrays instead of
+            two per CG iteration."""
             u_m, u_g, u_s = edge_u(xp, xe)
-            g12, ge = scatter_back(
-                w_m[:, None] * u_m, w_g[:, None] * u_g, w_s[:, None] * u_s, K, Cx
-            )
+            wu_m = w_m[:, None] * u_m
+            wu_g = w_g[:, None] * u_g
+            wu_s = w_s[:, None] * u_s
+            g12, ge = scatter_back(wu_m, wu_g, wu_s, K, Cx)
             # GP chain (no landmark part, full 12x12 information)
             t = jnp.einsum("eab,eb->ea", J1p, xp[ip]) + jnp.einsum(
                 "eab,eb->ea", J2p, xp[jp]
@@ -1118,8 +1124,18 @@ def make_ba_problem_pcg(
             # Hessian contribution must be part of Sx too
             if Cx:
                 ge = ge + jnp.einsum("cij,cj->ci", _ext_prior_H, xe)
-            # Schur correction
-            y = Wt_x(xp, xe)
+            # Schur correction (reuses the weighted edge products above)
+            y = (
+                jax.ops.segment_sum(
+                    jnp.einsum("eri,er->ei", Jlm, wu_m), lm_m, L
+                )
+                + jax.ops.segment_sum(
+                    jnp.einsum("eri,er->ei", Jlg, wu_g), lm_g, L
+                )
+                + jax.ops.segment_sum(
+                    jnp.einsum("eri,er->ei", Jls, wu_s), lm_s, L
+                )
+            )
             z = jnp.einsum("lab,lb->la", Hll_inv, y)
             c12, ce = W_z(z)
             g12 = g12 - c12 + damp12[:, None] * xp

@@ -38,6 +38,26 @@ def test_system_end_to_end(tmp_path):
     sys_.save_keyframe_trajectory_tum(kf_path)
     assert np.loadtxt(kf_path).shape[1] == 8
 
+    # EuRoC variants: nanosecond timestamps, same poses
+    euroc_path = str(tmp_path / "traj.euroc")
+    sys_.save_trajectory_euroc(euroc_path)
+    erows = np.loadtxt(euroc_path)
+    assert erows.shape == rows.shape
+    np.testing.assert_allclose(erows[:, 0], rows[:, 0] * 1e9, rtol=1e-12)
+    np.testing.assert_allclose(erows[:, 1:4], rows[:, 1:4], atol=1e-6)
+    sys_.save_keyframe_trajectory_euroc(str(tmp_path / "kfs.euroc"))
+    assert np.loadtxt(str(tmp_path / "kfs.euroc")).shape[1] == 8
+
+    # KITTI: 3x4 row-major, first keyframe at the origin
+    kitti_path = str(tmp_path / "traj.kitti")
+    sys_.save_trajectory_kitti(kitti_path)
+    krows = np.loadtxt(kitti_path)
+    assert krows.shape == (len(frames), 12)
+    kf0 = min(sys_.atlas.active.keyframes.values(), key=lambda k: k.id)
+    M0 = krows[np.argmin(np.abs(rows[:, 0] - kf0.timestamp))].reshape(3, 4)
+    np.testing.assert_allclose(M0[:, :3], np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(M0[:, 3], 0.0, atol=1e-9)
+
     # checkpoint / resume with checksum
     atlas_path = str(tmp_path / "atlas.bin")
     sys_.save_atlas(atlas_path)
