@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 
 from .orb import (
-    _ARC_LUT,
     _BRIEF,
     _CIRCLE,
     _PATCH_OFF,
@@ -84,27 +83,56 @@ def _resize_bilinear_jnp(img, h, w):
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
 
-def _fast_masks(img, lut, threshold):
+def _run9(m):
+    """Branchless circular run-of-9 test over a 16-bit mask (int32 lanes).
+
+    Equivalent to _ARC_LUT[m] (orb.py:51) but with shift-AND doubling
+    instead of a 65536-entry gather — gathers serialize on the TPU VPU
+    while shifts/ANDs run at full lane rate."""
+    m32 = m | (m << 16)           # duplicate: circular runs become linear
+    r = m32 & (m32 >> 1)          # run >= 2 starting at each bit
+    r = r & (r >> 2)              # run >= 4
+    r = r & (r >> 4)              # run >= 8
+    r = r & (m32 >> 8)            # run >= 9
+    return (r & 0xFFFF) != 0
+
+
+def _fast_masks(img, threshold):
     """(corner mask, response) — frontend/orb.py fast_detect semantics."""
+    ok, _, score = _fast_masks_pair(img, threshold, threshold)
+    return ok, score
+
+
+def _fast_masks_pair(img, ini_th, min_th):
+    """One pass over the 16 circle offsets serving BOTH thresholds
+    (ComputeKeyPointsOctTree runs an ini and a fallback min detect on every
+    cell; sharing the diffs halves the dominant FAST cost on chip).
+
+    Returns (ok_min, ok_ini, score) where score is the min-threshold
+    response (sum of |d|-th over exceeding circle pixels), zero outside
+    min-corners."""
     H, W = img.shape
     I = img.astype(jnp.int32)
     c = I[3:-3, 3:-3]
-    mb = jnp.zeros(c.shape, jnp.int32)
-    md = jnp.zeros(c.shape, jnp.int32)
-    resp = jnp.zeros(c.shape, jnp.int32)
+    zero = jnp.zeros(c.shape, jnp.int32)
+    mb_min, md_min, mb_ini, md_ini, resp = zero, zero, zero, zero, zero
     for k, (dx, dy) in enumerate(_CIRCLE):
         p = I[3 + dy: H - 3 + dy, 3 + dx: W - 3 + dx]
         d = p - c
-        mb = mb | (jnp.where(d > threshold, 1, 0) << k)
-        md = md | (jnp.where(d < -threshold, 1, 0) << k)
+        mb_min = mb_min | (jnp.where(d > min_th, 1, 0) << k)
+        md_min = md_min | (jnp.where(d < -min_th, 1, 0) << k)
+        mb_ini = mb_ini | (jnp.where(d > ini_th, 1, 0) << k)
+        md_ini = md_ini | (jnp.where(d < -ini_th, 1, 0) << k)
         a = jnp.abs(d)
-        resp = resp + jnp.where(a > threshold, a - threshold, 0)
-    corner = lut[mb] | lut[md]
-    ok = jnp.zeros((H, W), bool).at[3:-3, 3:-3].set(corner)
+        resp = resp + jnp.where(a > min_th, a - min_th, 0)
+    corner_min = _run9(mb_min) | _run9(md_min)
+    corner_ini = _run9(mb_ini) | _run9(md_ini)
+    ok_min = jnp.zeros((H, W), bool).at[3:-3, 3:-3].set(corner_min)
+    ok_ini = jnp.zeros((H, W), bool).at[3:-3, 3:-3].set(corner_ini)
     score = jnp.zeros((H, W), jnp.int32).at[3:-3, 3:-3].set(
-        jnp.where(corner, resp, 0)
+        jnp.where(corner_min, resp, 0)
     )
-    return ok, score
+    return ok_min, ok_ini, score
 
 
 def _nms3_jnp(score):
@@ -171,12 +199,41 @@ def _gaussian_blur7_jnp(img, sigma=2.0):
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.float32)
 
 
-def _extract_level(img, lut, patch_off, brief, ini_th, min_th, budget):
+# Window radius for per-keypoint patch extraction: covers the circular
+# orientation patch (radius 15) and any rotated BRIEF offset
+# (|coord| <= 14 -> rotated reach <= ceil(14*sqrt(2)) = 20).
+_WIN_R = 20
+
+
+def _moment_kernels():
+    """Dense (41,41) weight images w_x/w_y over the window such that
+    m10 = <window, w_x>, m01 = <window, w_y> reproduce the circular-patch
+    intensity-centroid sums of orb.py exactly."""
+    Wn = 2 * _WIN_R + 1
+    wx = np.zeros((Wn, Wn), np.float32)
+    wy = np.zeros((Wn, Wn), np.float32)
+    for dy, dx in _PATCH_OFF:
+        wx[_WIN_R + dy, _WIN_R + dx] += dx
+        wy[_WIN_R + dy, _WIN_R + dx] += dy
+    return wx, wy
+
+
+_WX_MOM, _WY_MOM = _moment_kernels()
+
+
+def _extract_level(img, patch_off, brief, ini_th, min_th, budget):
     """One pyramid level -> (xy (B,2) f32 level-px, score, angle, desc
-    (B,32) int32-as-u8, valid)."""
+    (B,32) int32-as-u8, valid).
+
+    Orientation and BRIEF avoid per-point gathers (slow on the TPU VPU):
+    a 41x41 window around each keypoint is extracted with one-hot row/col
+    matmuls (MXU), then orientation is a dense dot with fixed moment
+    kernels and BRIEF samples are one-hot dots inside the window. Border
+    clamping matches the gather version bit-exactly because the window is
+    built from clipped global indices.
+    """
     H, W = img.shape
-    ok_min, score = _fast_masks(img, lut, min_th)
-    ok_ini, _ = _fast_masks(img, lut, ini_th)
+    ok_min, ok_ini, score = _fast_masks_pair(img, ini_th, min_th)
     nms = _nms3_jnp(jnp.where(ok_min, score, 0))
     cand_min = ok_min & nms
     cand_ini = ok_ini & cand_min
@@ -189,28 +246,38 @@ def _extract_level(img, lut, patch_off, brief, ini_th, min_th, budget):
     valid = vals > 0
     sc = s.reshape(-1)[flat]
 
-    # intensity-centroid orientation
-    I = img.astype(jnp.float32)
-    py = jnp.clip(ys[:, None] + patch_off[None, :, 0], 0, H - 1)
-    px = jnp.clip(xs[:, None] + patch_off[None, :, 1], 0, W - 1)
-    vals_p = I[py, px]
-    m01 = jnp.sum(vals_p * patch_off[None, :, 0], axis=1)
-    m10 = jnp.sum(vals_p * patch_off[None, :, 1], axis=1)
+    blur = _gaussian_blur7_jnp(img)
+    R, Wn = _WIN_R, 2 * _WIN_R + 1
+    off = jnp.arange(-R, R + 1)
+    rows = jnp.clip(ys[:, None] + off[None, :], 0, H - 1)     # (K,Wn)
+    cols = jnp.clip(xs[:, None] + off[None, :], 0, W - 1)     # (K,Wn)
+    oh_y = jax.nn.one_hot(rows, H, dtype=jnp.float32)          # (K,Wn,H)
+    oh_x = jax.nn.one_hot(cols, W, dtype=jnp.float32)          # (K,Wn,W)
+    stack = jnp.stack([img.astype(jnp.float32), blur])         # (2,H,W)
+    strip = jnp.einsum("kwh,chx->ckwx", oh_y, stack)           # (2,K,Wn,W)
+    win = jnp.einsum("ckwx,kvx->ckwv", strip, oh_x)            # (2,K,Wn,Wn)
+    win_raw, win_blur = win[0], win[1]
+
+    # intensity-centroid orientation: dense dot with the moment kernels
+    m10 = jnp.einsum("kwv,wv->k", win_raw, jnp.asarray(_WX_MOM))
+    m01 = jnp.einsum("kwv,wv->k", win_raw, jnp.asarray(_WY_MOM))
     ang = jnp.arctan2(m01, m10)
 
-    # rotated BRIEF on the blurred level
-    blur = _gaussian_blur7_jnp(img)
+    # rotated BRIEF on the blurred window
     ca, sa = jnp.cos(ang), jnp.sin(ang)
     bx1, by1, bx2, by2 = brief[:, 0], brief[:, 1], brief[:, 2], brief[:, 3]
 
     def samp(bx, by):
         rx = jnp.round(ca[:, None] * bx[None, :] - sa[:, None] * by[None, :])
         ry = jnp.round(sa[:, None] * bx[None, :] + ca[:, None] * by[None, :])
-        gx = jnp.clip(xs[:, None] + rx.astype(jnp.int32), 0, W - 1)
-        gy = jnp.clip(ys[:, None] + ry.astype(jnp.int32), 0, H - 1)
-        return blur[gy, gx]
+        oy = jax.nn.one_hot(ry.astype(jnp.int32) + R, Wn,
+                            dtype=jnp.float32)                 # (K,256,Wn)
+        ox = jax.nn.one_hot(rx.astype(jnp.int32) + R, Wn,
+                            dtype=jnp.float32)
+        t = jnp.einsum("kpw,kwv->kpv", oy, win_blur)
+        return jnp.einsum("kpv,kpv->kp", t, ox)
 
-    bits = (samp(bx1, by1) < samp(bx2, by2)).astype(jnp.int32)  # (B,256)
+    bits = (samp(bx1, by1) < samp(bx2, by2)).astype(jnp.int32)  # (K,256)
     pack_w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
     desc = jnp.einsum("kab,b->ka", bits.reshape(budget, 32, 8), pack_w)
 
@@ -225,7 +292,6 @@ def build_orb_tpu(H, W, n_features=1200, scale_factor=1.2, n_levels=8,
     slots ordered by pyramid level."""
     sizes = _level_sizes(H, W, n_levels, scale_factor)
     budgets = _budgets(n_features, n_levels, scale_factor)
-    lut = jnp.asarray(_ARC_LUT)
     patch_off = jnp.asarray(_PATCH_OFF, jnp.int32)
     brief = jnp.asarray(_BRIEF, jnp.int32)
 
@@ -236,7 +302,7 @@ def build_orb_tpu(H, W, n_features=1200, scale_factor=1.2, n_levels=8,
             h, w = sizes[lv]
             lvl_img = img if lv == 0 else _resize_bilinear_jnp(img, h, w)
             xy, sc, ang, desc, valid = _extract_level(
-                lvl_img, lut, patch_off, brief, ini_th, min_th, budgets[lv]
+                lvl_img, patch_off, brief, ini_th, min_th, budgets[lv]
             )
             outs.append((
                 xy * np.float32(scale_factor ** lv),
