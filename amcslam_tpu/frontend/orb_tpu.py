@@ -354,12 +354,14 @@ class ORBExtractorTPU:
         """(B,H,W) uint8 -> per-image lists (xy, octave, desc, angle), one
         device round-trip for the whole batch."""
         B, H, W = images.shape
-        out = self._fn(H, W)(jnp.asarray(images))
-        xy = np.asarray(out["xy"])
-        octv = np.asarray(out["octave"])
-        ang = np.asarray(out["angle"])
-        desc = np.asarray(out["desc"]).astype(np.uint8)
-        valid = np.asarray(out["valid"])
+        # one batched device->host fetch: separate np.asarray calls each pay
+        # a full transport round trip on remote-tunnel backends
+        out = jax.device_get(self._fn(H, W)(jnp.asarray(images)))
+        xy = out["xy"]
+        octv = out["octave"]
+        ang = out["angle"]
+        desc = out["desc"].astype(np.uint8)
+        valid = out["valid"]
         xys, octs, descs, angs = [], [], [], []
         for b in range(B):
             m = valid[b]

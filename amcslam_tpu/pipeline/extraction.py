@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..solver.ba import BAState, LocalBAData
@@ -66,7 +67,7 @@ def reset_bucket_high_water():
 SERVING_BUCKETS = {
     "lba.K": 64, "lba.Em": 4096, "lba.Eg": 1024, "lba.Es": 16384,
     "lba.Ng": 64, "lba.Um": 256, "lba.Ug": 64, "lba.Sm": 256, "lba.Sg": 64,
-    "lba.L": 4096, "lba.D": 32, "lba.De": 64,
+    "lba.L": 4096, "lba.D": 128, "lba.De": 64,
     "pose.Nm": 1024, "pose.Ns": 1024,
 }
 
@@ -425,9 +426,9 @@ def _kf_by_id(any_kf: KeyFrame, kf_id: int):
 
 def apply_local_ba(result_state: BAState, handles, mp_table: dict):
     """Write optimized poses/velocities/landmarks back (Optimizer.cc:1385-1428)."""
-    T = np.asarray(result_state.T)
-    v = np.asarray(result_state.v)
-    X = np.asarray(result_state.X)
+    T, v, X = jax.device_get(
+        (result_state.T, result_state.v, result_state.X)
+    )
     for i in range(handles["n_opt"]):
         kf = handles["kfs"][i]
         kf.set_pose(T[i])
@@ -443,9 +444,9 @@ def apply_global_ba(result_state: BAState, handles, map_: Map):
     the problem) are corrected through their prev-chain parent's delta, and
     landmarks outside the problem through their reference keyframe's delta.
     """
-    T = np.asarray(result_state.T)
-    v = np.asarray(result_state.v)
-    X = np.asarray(result_state.X)
+    T, v, X = jax.device_get(
+        (result_state.T, result_state.v, result_state.X)
+    )
     in_problem = {}
     delta = {}  # kf_id -> Twb_after @ inv(Twb_before)
     for i, kf in enumerate(handles["kfs"]):

@@ -84,6 +84,7 @@ class LocalMapping:
         if not self.queue:
             return False
         import contextlib
+        import os
 
         ctx = lock if lock is not None else contextlib.nullcontext()
         kf = self.queue.pop(0)
@@ -298,12 +299,12 @@ class LocalMapping:
             r2_a = np.concatenate([r2_a, ray])
             T1_a = np.concatenate([T1_a, eyeT])
             T2_a = np.concatenate([T2_a, off])
-        X, w = _triangulate_batch(
+        X, w = jax.device_get(_triangulate_batch(
             jnp.asarray(r1_a), jnp.asarray(r2_a),
             jnp.asarray(T1_a), jnp.asarray(T2_a),
-        )
-        X = np.asarray(X)[:n_tri]
-        w = np.asarray(w)[:n_tri]
+        ))  # one round trip for both outputs
+        X = X[:n_tri]
+        w = w[:n_tri]
 
         # --- batched acceptance gates (cheirality, reprojection chi2 in
         # both views, octave scale consistency — LocalMapping.cc:480-569)
@@ -444,17 +445,31 @@ class LocalMapping:
         With `lock` (threaded mode): snapshot-extract and write-back run
         under the map mutex; the device solve between them does not."""
         import contextlib
+        import os
 
         ctx = lock if lock is not None else contextlib.nullcontext()
-        with ctx:
+        with ctx, GLOBAL_TIMER.span("lm.ba_extract"):
             data, state, handles = extract_local_ba(
                 kf, self.map.map_points, self.rig, kf_table=self.map.keyframes
             )
-        res = self._ba(data, state)
-        with ctx:
+        with GLOBAL_TIMER.span("lm.ba_solve"):
+            res = self._ba(data, state)
+            jax.block_until_ready(res)
+        if os.environ.get("AMCSLAM_BA_DEBUG"):
+            import time as _time
+
+            t0 = _time.perf_counter()
+            jax.block_until_ready(self._ba(data, state))
+            shapes = {k: tuple(v.shape) for k, v in data._asdict().items()}
+            print(f"[ba_debug] rerun {1e3*(_time.perf_counter()-t0):.1f} ms "
+                  f"{shapes}", flush=True)
+        with ctx, GLOBAL_TIMER.span("lm.ba_apply"):
             self._apply_local_ba(res, handles)
 
     def _apply_local_ba(self, res, handles):
+        # fetch the whole result pytree in ONE transport round trip; the
+        # per-field np.asarray calls below then read local host copies
+        res = jax.device_get(res)
         if bool(res.ok):
             apply_local_ba(res.state, handles, self.map.map_points)
             # refined extrinsics write back into the STATIC rig so subsequent

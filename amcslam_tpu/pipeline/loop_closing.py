@@ -248,6 +248,8 @@ class LoopClosing:
         H = 32
         samples = np.stack([self._rng.choice(n, 3, replace=False) for _ in range(H)])
         (s, R, t), inl, n_best, _ = sim3_ransac(data, jnp.asarray(samples, jnp.int32))
+        # one transport round trip for the whole RANSAC result
+        s, R, t, inl, n_best = jax.device_get((s, R, t, inl, n_best))
         if int(n_best) < max(6, self.min_matches // 2):
             return None, 0, None
 
@@ -326,7 +328,9 @@ class LoopClosing:
             fix_scale=jnp.asarray(self.fix_scale),
         )
         S0 = Sim3(s=jnp.asarray(s), R=jnp.asarray(R), t=jnp.asarray(t))
-        S12, n_inl, inlier = _optimize_sim3_jit(pair, S0, 10.0)
+        S12, n_inl, inlier = jax.device_get(
+            _optimize_sim3_jit(pair, S0, 10.0)
+        )  # one round trip; correct_loop reads S12 fields host-side
         return S12, int(n_inl), inlier
 
     # ------------------------------------------------------------------
@@ -545,9 +549,7 @@ class LoopClosing:
         )
         out, stats = _essential_graph_jit(data, state)
         # recover SE3: T_wb = inv(S_cw) with translation /s (Optimizer.cc:1669-1683)
-        s_o = np.asarray(out.s)
-        R_o = np.asarray(out.R)
-        t_o = np.asarray(out.t)
+        s_o, R_o, t_o = jax.device_get((out.s, out.R, out.t))
         for i, k in enumerate(kfs):
             Scw = np.eye(4)
             Scw[:3, :3] = R_o[i]

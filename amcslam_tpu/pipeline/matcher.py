@@ -161,11 +161,13 @@ def match_descriptors(
         p1[:n] = d1
         p2 = np.zeros((mb, 32), np.uint8)
         p2[:m] = d2
-        bj, bd, sd, cb = _match_reduce(jnp.asarray(p1), jnp.asarray(p2), n, m)
-        best2 = np.asarray(bj)[:n].astype(np.int64)
-        bestd = np.asarray(bd)[:n]
-        second = np.asarray(sd)[:n]
-        best1 = np.asarray(cb)[:m].astype(np.int64) if mutual else None
+        bj, bd, sd, cb = jax.device_get(
+            _match_reduce(jnp.asarray(p1), jnp.asarray(p2), n, m)
+        )  # one transport round trip for all four outputs
+        best2 = bj[:n].astype(np.int64)
+        bestd = bd[:n]
+        second = sd[:n]
+        best1 = cb[:m].astype(np.int64) if mutual else None
     ok = (bestd <= max_dist) & (bestd <= ratio * second)
     if mutual:
         ok &= best1[best2] == np.arange(n)

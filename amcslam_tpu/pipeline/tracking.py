@@ -572,8 +572,8 @@ class Tracking:
             threshold=self.cfg.ransac_threshold,
             min_match=self.cfg.ransac_min_match,
         )
+        ok, inl = jax.device_get((ok, inl))  # one transport round trip
         if bool(ok):
-            inl = np.asarray(inl)
             for j, g in enumerate(idxs):
                 if not inl[j]:
                     frame.outlier[g] = True
@@ -594,10 +594,13 @@ class Tracking:
         state, lvl_m, lvl_s, (stats, n_inl) = _pose_gp_optimize_jit(
             data, state, jnp.asarray(out_m), jnp.asarray(out_s)
         )
-        frame.Twb = np.asarray(state.T[1], np.float64)
-        frame.velocity = np.asarray(state.v[1], np.float64)
-        lvl_m = np.asarray(lvl_m)
-        lvl_s = np.asarray(lvl_s)
+        # batch the write-back fetches: each separate np.asarray on a fresh
+        # device buffer pays a full transport round trip on tunnel backends
+        T1, v1, lvl_m, lvl_s = jax.device_get(
+            (state.T[1], state.v[1], lvl_m, lvl_s)
+        )
+        frame.Twb = np.asarray(T1, np.float64)
+        frame.velocity = np.asarray(v1, np.float64)
         if handles["n_mg"]:
             frame.outlier[handles["mg_idx"]] = ~lvl_m[: handles["n_mg"]]
         if handles["n_st"]:
@@ -856,11 +859,12 @@ class Tracking:
             self._rng.choice(n, 6, replace=False) for _ in range(H)
         ])
         (R, t), inl, n_in = pnp_ransac(data, jnp.asarray(samples, jnp.int32))
-        if not np.isfinite(np.asarray(t)).all():
+        R, t, n_in = jax.device_get((R, t, n_in))  # one round trip
+        if not np.isfinite(t).all():
             return None
         Tcw = np.eye(4)
-        Tcw[:3, :3] = np.asarray(R)
-        Tcw[:3, 3] = np.asarray(t)
+        Tcw[:3, :3] = R
+        Tcw[:3, 3] = t
         return Tcw, int(n_in)
 
     def _add_gp_observations(self, frame: Frame):
