@@ -14,9 +14,12 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from amcslam_tpu.frontend.features import build_frame, make_extractors
 from amcslam_tpu.pipeline.rig import Rig
@@ -84,6 +87,67 @@ def render(Twc: np.ndarray, planes) -> np.ndarray:
     return np.clip(val, 0, 255).astype(np.uint8).reshape(H, W)
 
 
+def make_device_renderer(planes):
+    """The ray-caster as one jitted XLA program: all cameras' views render
+    in a single device dispatch (same plane-intersection + nearest-texel
+    semantics as `render`). On a 1-core host driving a TPU this moves the
+    only remaining CPU-bound stage of the demo loop onto the chip, which is
+    what makes multi-hundred-meter full-stack runs practical."""
+    import jax
+    import jax.numpy as jnp
+
+    p0 = jnp.asarray(np.stack([p[0] for p in planes]), jnp.float32)
+    nrm = jnp.asarray(np.stack([p[1] for p in planes]), jnp.float32)
+    e1 = jnp.asarray(np.stack([p[2] for p in planes]), jnp.float32)
+    e2 = jnp.asarray(np.stack([p[3] for p in planes]), jnp.float32)
+    tex = jnp.asarray(np.stack([p[4] for p in planes]), jnp.float32)
+    scale = jnp.asarray(np.array([p[5] for p in planes]), jnp.float32)
+    fx, fy, cx, cy = K4
+
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    d_cam = np.stack(
+        [(u - cx) / fx, (v - cy) / fy, np.ones((H, W))], axis=-1
+    ).astype(np.float32)  # (H, W, 3)
+    d_cam = jnp.asarray(d_cam)
+
+    @jax.jit
+    def render_batch(Twc):  # (C,4,4) -> (C,H,W) uint8
+        def one(T):
+            Rwc, t = T[:3, :3], T[:3, 3]
+            d = d_cam @ Rwc.T                      # (H,W,3) world rays
+            denom = d @ nrm.T                      # (H,W,P)
+            num = jnp.einsum("pi,pi->p", nrm, p0 - t[None, :])
+            ti = num[None, None, :] / denom
+            ok = (denom < -1e-9) & (ti > 0.2)
+            ti = jnp.where(ok, ti, jnp.inf)
+            best = jnp.argmin(ti, axis=-1)         # (H,W)
+            tbest = jnp.min(ti, axis=-1)
+            valid = jnp.isfinite(tbest)
+            tsafe = jnp.where(valid, tbest, 1.0)
+            hit = t[None, None, :] + d * tsafe[..., None]
+            rel = hit - p0[best]
+            s1 = jnp.einsum("hwi,hwi->hw", rel, e1[best]) * scale[best]
+            s2 = jnp.einsum("hwi,hwi->hw", rel, e2[best]) * scale[best]
+            i1 = jnp.mod(jnp.floor(s1).astype(jnp.int32), tex.shape[1])
+            i2 = jnp.mod(jnp.floor(s2).astype(jnp.int32), tex.shape[2])
+            val = tex[best, i1, i2]
+            val = jnp.where(valid, val, 0.0)
+            return jnp.clip(val, 0, 255).astype(jnp.uint8)
+
+        return jax.vmap(one)(Twc)
+
+    def render_all(Twc_list):
+        out = render_batch(jnp.asarray(np.stack(Twc_list), jnp.float32))
+        return list(np.asarray(jax.device_get(out)))
+
+    # async pair: dispatch returns the un-fetched device buffer (JAX async
+    # dispatch), so the next frame's render overlaps host-side tracking
+    render_all.dispatch = lambda Twc_list: render_batch(
+        jnp.asarray(np.stack(Twc_list), jnp.float32))
+    render_all.fetch = lambda h: list(np.asarray(jax.device_get(h)))
+    return render_all
+
+
 def make_rig() -> Rig:
     """2 async monos (yawed left/right) + forward stereo pair."""
 
@@ -131,17 +195,22 @@ def gt_pose_circle(t: float, period: float = 10.0, radius: float = 1.5):
 
 def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         circle=False, circle_period=16.0, circle_radius=5.0,
-        n_features=800):
+        n_features=800, device_render=False):
     if circle:
         # loop-closure scenario: a big circle in a big non-repeating box so
         # the far side looks different from the start, odometry drift
         # accumulates over the lap, and the revisit must be closed by the
-        # loop-closing thread (detection via the keyframe database)
-        planes = make_world(seed, half=12.0, ceiling=6.0, span=40.0)
+        # loop-closing thread (detection via the keyframe database).
+        # The box scales with the radius so multi-hundred-meter courses fit
+        # (texture span >= box extent keeps places visually distinct).
+        half = max(12.0, circle_radius + 10.0)
+        planes = make_world(seed, half=half, ceiling=6.0,
+                            span=max(40.0, 2.0 * half + 8.0))
         pose_fn = lambda t: gt_pose_circle(t, circle_period, circle_radius)
     else:
         planes = make_world(seed)
         pose_fn = gt_pose
+    renderer = make_device_renderer(planes) if device_render else None
     rig = make_rig()
     extractors = make_extractors(4, n_features)
     cfg = TrackingConfig(max_frames_between_kf=5, min_local_matches=15,
@@ -151,18 +220,27 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
     Tright = np.eye(4)
     Tright[:3, 3] = [0.2, 0.0, 0.0]  # stereo right offset in camera frame
 
+    def frame_views(k):
+        ts = k / fps
+        cam_times = rig.cam_times(ts)
+        views = [pose_fn(cam_times[c]) @ rig.Tbc[c] for c in range(3)]
+        views.append(pose_fn(ts) @ rig.Tbc[2] @ Tright)
+        return views
+
     gt_t, gt_T = [], []
     track_times = []
     t_render = t_extract = t_track = 0.0
+    pending = renderer.dispatch(frame_views(0)) if renderer is not None else None
     for k in range(n_frames):
         ts = k / fps
         cam_times = rig.cam_times(ts)
         t0 = time.time()
-        imgs = [
-            render(pose_fn(cam_times[c]) @ rig.Tbc[c], planes)
-            for c in range(3)
-        ]
-        img_r = render(pose_fn(ts) @ rig.Tbc[2] @ Tright, planes)
+        if renderer is not None:
+            *imgs, img_r = renderer.fetch(pending)
+            if k + 1 < n_frames:  # overlap next render with this frame's work
+                pending = renderer.dispatch(frame_views(k + 1))
+        else:
+            *imgs, img_r = [render(T, planes) for T in frame_views(k)]
         t_render += time.time() - t0
 
         t0 = time.time()
@@ -226,10 +304,14 @@ if __name__ == "__main__":
                     help="run mapping/loop-closing in a background thread "
                          "(the reference's thread layout); tracking latency "
                          "then excludes local BA")
+    ap.add_argument("--device-render", action="store_true",
+                    help="ray-cast the world on the accelerator (one jitted "
+                         "dispatch for all cameras) instead of host NumPy")
     args = ap.parse_args()
     n = args.frames
     if args.circle and n == 50:
         n = int(args.period * args.fps) + int(2 * args.fps)  # lap + revisit
     run(n_frames=n, fps=args.fps, plot=args.plot, circle=args.circle,
         circle_period=args.period, circle_radius=args.radius,
-        n_features=args.features, threaded=args.threaded)
+        n_features=args.features, threaded=args.threaded,
+        device_render=args.device_render)
