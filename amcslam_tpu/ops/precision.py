@@ -41,3 +41,13 @@ def smm(a, b):
         return jnp.sum(a * b[..., None, :], axis=-1)
     # out[..., i, j] = sum_k a[..., i, k] b[..., k, j]
     return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def fdtype():
+    """Canonical max-precision float dtype for host->device problem uploads:
+    float64 when x64 is enabled (CPU test mesh), else float32 (TPU has no
+    native f64 — requesting it would only emit a truncation warning per
+    call site)."""
+    import jax.numpy as jnp
+
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..ops import sim3 as sim3_ops
 from ..ops.sim3 import Sim3
+from ..ops.precision import fdtype as _FD
 from ..ransac.sim3_solver import Sim3RansacData, sim3_ransac
 from ..solver.sim3_opt import (
     EssentialGraphData,
@@ -230,19 +231,19 @@ class LoopClosing:
         w2p = _padrows(w2, 1.0)
         validp = np.arange(nb) < n
         data = Sim3RansacData(
-            Xb1=jnp.asarray(Xb1p, jnp.float64),
-            Xb2=jnp.asarray(Xb2p, jnp.float64),
-            obs1=jnp.asarray(obs1p, jnp.float64),
-            obs2=jnp.asarray(obs2p, jnp.float64),
+            Xb1=jnp.asarray(Xb1p, _FD()),
+            Xb2=jnp.asarray(Xb2p, _FD()),
+            obs1=jnp.asarray(obs1p, _FD()),
+            obs2=jnp.asarray(obs2p, _FD()),
             cam1=jnp.asarray(cams1p),
             cam2=jnp.asarray(cams2p),
-            max_err1=jnp.asarray(9.21 / w1p, jnp.float64),
-            max_err2=jnp.asarray(9.21 / w2p, jnp.float64),
+            max_err1=jnp.asarray(9.21 / w1p, _FD()),
+            max_err2=jnp.asarray(9.21 / w2p, _FD()),
             valid=jnp.asarray(validp),
-            K1=jnp.asarray(self.rig.K, jnp.float64),
-            K2=jnp.asarray(self.rig.K, jnp.float64),
-            Tc1b=jnp.asarray(Tcb_all, jnp.float64),
-            Tc2b=jnp.asarray(Tcb_all, jnp.float64),
+            K1=jnp.asarray(self.rig.K, _FD()),
+            K2=jnp.asarray(self.rig.K, _FD()),
+            Tc1b=jnp.asarray(Tcb_all, _FD()),
+            Tc2b=jnp.asarray(Tcb_all, _FD()),
             fix_scale=jnp.asarray(self.fix_scale),
         )
         H = 32
@@ -312,19 +313,19 @@ class LoopClosing:
             fill = np.tile(np.asarray(fill_row, a.dtype), (mb - m, 1) if a.ndim > 1 else (mb - m,))
             return np.concatenate([a, fill.reshape((mb - m,) + a.shape[1:])])
         pair = Sim3PairData(
-            X1=jnp.asarray(_padp(X1c, [0.0, 0.0, 5.0]), jnp.float64),
-            X2=jnp.asarray(_padp(X2c, [0.0, 0.0, 5.0]), jnp.float64),
-            obs1=jnp.asarray(_padp(obs1, [self.rig.K[0][2], self.rig.K[0][3]]), jnp.float64),
-            obs2=jnp.asarray(_padp(obs2, [self.rig.K[0][2], self.rig.K[0][3]]), jnp.float64),
+            X1=jnp.asarray(_padp(X1c, [0.0, 0.0, 5.0]), _FD()),
+            X2=jnp.asarray(_padp(X2c, [0.0, 0.0, 5.0]), _FD()),
+            obs1=jnp.asarray(_padp(obs1, [self.rig.K[0][2], self.rig.K[0][3]]), _FD()),
+            obs2=jnp.asarray(_padp(obs2, [self.rig.K[0][2], self.rig.K[0][3]]), _FD()),
             cam1=jnp.asarray(_padp(cams1, 0)),
             cam2=jnp.asarray(_padp(cams2, 0)),
-            w1=jnp.asarray(_padp(w1, 1.0), jnp.float64),
-            w2=jnp.asarray(_padp(w2, 1.0), jnp.float64),
+            w1=jnp.asarray(_padp(w1, 1.0), _FD()),
+            w2=jnp.asarray(_padp(w2, 1.0), _FD()),
             valid=jnp.asarray(np.concatenate([valid, np.zeros(mb - m, bool)])),
-            K1=jnp.asarray(self.rig.K, jnp.float64),
-            K2=jnp.asarray(self.rig.K, jnp.float64),
-            Tc1b=jnp.asarray(Tcb_all, jnp.float64),
-            Tc2b=jnp.asarray(Tcb_all, jnp.float64),
+            K1=jnp.asarray(self.rig.K, _FD()),
+            K2=jnp.asarray(self.rig.K, _FD()),
+            Tc1b=jnp.asarray(Tcb_all, _FD()),
+            Tc2b=jnp.asarray(Tcb_all, _FD()),
             fix_scale=jnp.asarray(self.fix_scale),
         )
         S0 = Sim3(s=jnp.asarray(s), R=jnp.asarray(R), t=jnp.asarray(t))
@@ -535,17 +536,17 @@ class LoopClosing:
         )
         data = EssentialGraphData(
             pairs=jnp.asarray(pairs_a, jnp.int32),
-            meas_s=jnp.ones(Eb, jnp.float64),
-            meas_R=jnp.asarray(meas_R, jnp.float64),
-            meas_t=jnp.asarray(meas_t, jnp.float64),
+            meas_s=jnp.ones(Eb, _FD()),
+            meas_R=jnp.asarray(meas_R, _FD()),
+            meas_t=jnp.asarray(meas_t, _FD()),
             valid=jnp.asarray(np.arange(Eb) < E),
             fixed=jnp.asarray(fixed),
             fix_scale=jnp.asarray(self.fix_scale),
         )
         state = Sim3Field(
-            s=jnp.asarray(s, jnp.float64),
-            R=jnp.asarray(R, jnp.float64),
-            t=jnp.asarray(t, jnp.float64),
+            s=jnp.asarray(s, _FD()),
+            R=jnp.asarray(R, _FD()),
+            t=jnp.asarray(t, _FD()),
         )
         out, stats = _essential_graph_jit(data, state)
         # recover SE3: T_wb = inv(S_cw) with translation /s (Optimizer.cc:1669-1683)

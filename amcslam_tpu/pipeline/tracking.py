@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..ops import host_geom
 from ..ops import gp, lie
+from ..ops.precision import fdtype as _FD
 from ..ransac.vel_ransac import VelRansacData, mc_ransac
 from ..solver.pose_solver import pose_gp_optimize
 
@@ -846,13 +847,13 @@ class Tracking:
         obs_p = np.concatenate([obs, np.tile([K[2], K[3]], (N - n, 1))])
         bear_p = np.concatenate([bear, np.tile([0.0, 0.0, 1.0], (N - n, 1))])
         data = PnPRansacData(
-            points=jnp.asarray(pts_p, jnp.float64),
-            bearings=jnp.asarray(bear_p, jnp.float64),
-            obs=jnp.asarray(obs_p, jnp.float64),
-            K=jnp.asarray(K, jnp.float64),
-            w=jnp.ones(N, jnp.float64),
+            points=jnp.asarray(pts_p, _FD()),
+            bearings=jnp.asarray(bear_p, _FD()),
+            obs=jnp.asarray(obs_p, _FD()),
+            K=jnp.asarray(K, _FD()),
+            w=jnp.ones(N, _FD()),
             valid=jnp.asarray(np.arange(N) < n),
-            th2=jnp.full(N, 9.21, jnp.float64),
+            th2=jnp.full(N, 9.21, _FD()),
         )
         H = 32
         samples = np.stack([

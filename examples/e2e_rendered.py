@@ -255,6 +255,13 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
 
         gt_t.append(ts)
         gt_T.append(pose_fn(ts))
+        if (k + 1) % 50 == 0:
+            n_loops = (getattr(slam.loop_closer, "loops_closed", 0)
+                       if slam.loop_closer else 0)
+            recent = track_times[-50:]
+            print(f"  [{k+1}/{n_frames}] kf={len(slam.atlas.active.keyframes)}"
+                  f" mp={len(slam.atlas.active.map_points)} loops={n_loops}"
+                  f" track_med={np.median(recent)*1e3:.0f}ms", flush=True)
 
     slam.shutdown()
     traj = slam.tracker.trajectory_poses()
