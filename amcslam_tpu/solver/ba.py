@@ -725,15 +725,32 @@ def make_ba_problem(
             colE,
         )
 
-        # ===== unified Hpp/bp assembly (two dense contractions) =====
+        # ===== unified Hpp/bp assembly =====
+        # Every segment block is made of 12-aligned unit sub-blocks
+        # (make_structure_ids emits only 12-aligned column starts; padded
+        # positions point at column 0 with zero values), so the (S,30,30)
+        # blocks land on the (G,G) grid of 12x12 unit pairs with one
+        # segment-sum instead of two dense (S,30,P) one-hot contractions.
+        # Measured (cost_analysis, 50 KF / 5k pt headline shape): 32.0 ->
+        # 22.4 GFLOP per LM iteration, wall-time neutral at this shape —
+        # the win is that segment-sum cost is independent of P, where the
+        # one-hot M/A intermediates grew as (S,30,P) with the window size
+        # (bLarge 25-KF windows, merged fixed sets).
         H_all = jnp.concatenate(seg_H, axis=0)    # (S,30,30)
         b_all = jnp.concatenate(seg_b, axis=0)    # (S,30)
         cols_all = jnp.concatenate(seg_cols, axis=0)  # (S,30)
-        M = (cols_all[:, :, None] == jnp.arange(P, dtype=jnp.int32)).astype(dtype)
-        # padded columns point at col 0 but carry zero block values
-        A = jnp.einsum("sab,sbq->saq", H_all, M)
-        Hpp = jnp.einsum("sap,saq->pq", M, A)
-        bp = jnp.einsum("sa,sap->p", b_all, M)
+        S_tot = H_all.shape[0]
+        H36 = jnp.pad(H_all, ((0, 0), (0, 6), (0, 6)))
+        b36 = jnp.pad(b_all, ((0, 0), (0, 6)))
+        units = cols_all[:, ::12] // 12           # (S,3) unit per sub-block
+        subs = H36.reshape(S_tot, 3, 12, 3, 12).transpose(0, 1, 3, 2, 4)
+        keys = (units[:, :, None] * G + units[:, None, :]).reshape(-1)
+        Hu = jax.ops.segment_sum(subs.reshape(S_tot * 9, 12, 12), keys, G * G)
+        Hpp = Hu.reshape(G, G, 12, 12).transpose(0, 2, 1, 3).reshape(P, P)
+        bu = jax.ops.segment_sum(
+            b36.reshape(S_tot * 3, 12), units.reshape(-1), G
+        )
+        bp = bu.reshape(P)
 
         # ===== velocity edges (diagonal; no scatter) =====
         wv = jnp.where(data.vel_valid, data.qcinv22, 0.0) * pose_act
@@ -755,9 +772,11 @@ def make_ba_problem(
                 (data.lm_blk_g[:, :, None] == jnp.arange(G, dtype=jnp.int32))
                 & data.lm_blk_valid[:, :, None]
             ).astype(dtype)  # (L,D,G)
-            gb = blk_vals[data.lm_blk]  # (L,D,36)
-            Wg = jnp.einsum("ldf,ldg->lgf", gb, oh)  # (L,G,36)
-            Wt = Wg.reshape(L, G, 3, 12).transpose(0, 2, 1, 3).reshape(L, 3, P)
+            # produce Wt directly in its (L,3,P) layout: the old
+            # (L,G,36)-then-transpose form materialized an extra 40 MB
+            # round-trip per iteration at the headline shape
+            gb = blk_vals[data.lm_blk].reshape(L, -1, 3, 12)  # (L,D,3,12)
+            Wt = jnp.einsum("ldak,ldg->lagk", gb, oh).reshape(L, 3, P)
             ev = jnp.concatenate(edge12, axis=0)  # (E_tot,12)
             ge = ev[data.lm_edge] * data.lm_edge_valid[..., None].astype(dtype)
             se = jnp.sum(ge, axis=1)  # (L,12)
