@@ -547,7 +547,7 @@ def make_ba_problem(
             """Segment reduction as a one-hot matmul (MXU, not scatter)."""
             E, w_ = bblk.shape
             onehot = (sid[None, :] == jnp.arange(n_sid)[:, None]).astype(dtype)
-            Hs = (onehot @ Hblk.reshape(E, w_ * w_)).reshape(n_sid, w_, w_)
+            Hs = jnp.einsum("se,eab->sab", onehot, Hblk)
             bs = onehot @ bblk
             return Hs, bs
 
