@@ -221,7 +221,7 @@ def _moment_kernels():
 _WX_MOM, _WY_MOM = _moment_kernels()
 
 
-def _extract_level(img, patch_off, brief, ini_th, min_th, budget):
+def _extract_level(img, brief, ini_th, min_th, budget):
     """One pyramid level -> (xy (B,2) f32 level-px, score, angle, desc
     (B,32) int32-as-u8, valid).
 
@@ -292,17 +292,15 @@ def build_orb_tpu(H, W, n_features=1200, scale_factor=1.2, n_levels=8,
     slots ordered by pyramid level."""
     sizes = _level_sizes(H, W, n_levels, scale_factor)
     budgets = _budgets(n_features, n_levels, scale_factor)
-    patch_off = jnp.asarray(_PATCH_OFF, jnp.int32)
     brief = jnp.asarray(_BRIEF, jnp.int32)
 
     def one_image(img):
         outs = []
-        pyr_img = img
         for lv in range(n_levels):
             h, w = sizes[lv]
             lvl_img = img if lv == 0 else _resize_bilinear_jnp(img, h, w)
             xy, sc, ang, desc, valid = _extract_level(
-                lvl_img, patch_off, brief, ini_th, min_th, budgets[lv]
+                lvl_img, brief, ini_th, min_th, budgets[lv]
             )
             outs.append((
                 xy * np.float32(scale_factor ** lv),
@@ -353,6 +351,12 @@ class ORBExtractorTPU:
     def extract_batch(self, images: np.ndarray):
         """(B,H,W) uint8 -> per-image lists (xy, octave, desc, angle), one
         device round-trip for the whole batch."""
+        if images.ndim == 4:
+            # ITU-R 601 luma, same conversion as the host backend (orb.py)
+            images = np.clip(
+                0.114 * images[..., 0] + 0.587 * images[..., 1]
+                + 0.299 * images[..., 2], 0, 255
+            ).astype(np.uint8)
         B, H, W = images.shape
         # one batched device->host fetch: separate np.asarray calls each pay
         # a full transport round trip on remote-tunnel backends

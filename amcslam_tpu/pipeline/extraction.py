@@ -27,10 +27,9 @@ CLOSE_DEPTH_TH = 10.0
 
 
 def _bucket(n: int, minimum: int = 16, factor: int = 2) -> int:
-    b = minimum
-    while b < n:
-        b *= factor
-    return b
+    from ..utils.shapes import bucket_pow2
+
+    return bucket_pow2(n, minimum, factor)
 
 
 # High-water padding for the local-BA problem: its six shape dimensions

@@ -84,7 +84,6 @@ class LocalMapping:
         if not self.queue:
             return False
         import contextlib
-        import os
 
         ctx = lock if lock is not None else contextlib.nullcontext()
         kf = self.queue.pop(0)
@@ -286,9 +285,9 @@ class LocalMapping:
         T1_a = np.concatenate(tri_T1)
         T2_a = np.concatenate(tri_T2)
         n_tri = len(r1_a)
-        nbkt = 16
-        while nbkt < n_tri:
-            nbkt *= 2
+        from ..utils.shapes import bucket_pow2
+
+        nbkt = bucket_pow2(n_tri)
         if nbkt > n_tri:
             pad = nbkt - n_tri
             ray = np.tile(np.array([0.0, 0.0, 1.0]), (pad, 1))

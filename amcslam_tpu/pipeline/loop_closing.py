@@ -511,13 +511,9 @@ class LoopClosing:
         # a new map size, and unbucketed shapes compile a fresh 20-iteration
         # program per closure (the executable-accumulation/mmap failure mode)
         E, N_real = len(pairs), N
+        from ..utils.shapes import bucket_pow2
 
-        def _b(n, lo=16):
-            while lo < n:
-                lo *= 2
-            return lo
-
-        Nb, Eb = _b(N_real), _b(E)
+        Nb, Eb = bucket_pow2(N_real), bucket_pow2(E)
         s = np.concatenate([s, np.ones(Nb - N_real)])
         R = np.concatenate([R, np.tile(np.eye(3), (Nb - N_real, 1, 1))])
         t = np.concatenate([t, np.zeros((Nb - N_real, 3))])

@@ -75,10 +75,9 @@ def _match_reduce(d1: jax.Array, d2: jax.Array, n, m):
 
 
 def _bucket(n: int) -> int:
-    b = 32
-    while b < n:
-        b *= 2
-    return b
+    from ..utils.shapes import bucket_pow2
+
+    return bucket_pow2(n, minimum=32)
 
 
 def hamming(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:

@@ -28,8 +28,11 @@ class Rig:
     cam_time_offsets: np.ndarray | None = None  # (C,) per-camera offset vs stereo
     dist: np.ndarray | None = None  # (C,5) radial-tangential k1 k2 p1 p2 k3
     # online extrinsic refinement (LocalGPBA phase 2): rotation-prior
-    # information (reference: mRbc_ini_cov = 0.2*I, Frame.cc:182) and the
-    # per-camera observation count needed to unfix an extrinsic
+    # information. The reference names the matrix a covariance
+    # (mRbc_ini_cov = 0.2*I, Frame.cc:182) but passes it DIRECTLY to
+    # setInformation (Optimizer.cc:992) — so information = 0.2*I is the
+    # reference behavior, reproduced here verbatim (not inverted).
+    # Also the per-camera observation count needed to unfix an extrinsic
     # (extrin_thresh = 50, Optimizer.cc:1227)
     ext_prior_info: np.ndarray | None = None  # (Cx,3,3)
     ext_min_obs: int = 50

@@ -436,12 +436,22 @@ class Tracking:
             frame.ref_kf = kf_max  # mpReferenceKF = pKFmax
         return local
 
-    def _search_local_points(self, frame: Frame, local_points: set[int]) -> int:
+    def _search_local_points(
+        self, frame: Frame, local_points: set[int],
+        seen_cam: dict[int, set[int]] | None = None,
+    ) -> int:
         """Tracking::SearchLocalPoints (Tracking.cc:2294-2352): project every
         local map point into every camera with the full frustum gates
         (viewing cone, distance range, predicted octave) and match with the
-        viewing-angle-dependent radius (th=1)."""
+        viewing-angle-dependent radius (th=1).
+
+        ``seen_cam`` maps mp_id -> cameras where the point is already matched
+        this frame (the reference's ``mvnLastFrameSeen[c] == mnId`` skip,
+        Tracking.cc:2298-2330): those (point, camera) pairs are excluded from
+        both the frustum/IncreaseVisible pass and matching, but the point can
+        still be counted visible and matched in the *other* cameras."""
         m = self.atlas.active
+        seen_cam = seen_cam or {}
         mps = [
             m.map_points[i]
             for i in local_points
@@ -462,9 +472,16 @@ class Tracking:
         for cam in range(self.rig.n_cams):
             if len(frame.keypoints[cam]) == 0:
                 continue
+            sub = [
+                mi for mi, mp in enumerate(mps)
+                if cam not in seen_cam.get(mp.id, ())
+            ]
+            if not sub:
+                continue
+            s = np.asarray(sub)
             Tcw = self._camera_Tcw(frame, cam)
             idx, in_frustum = matcher.search_by_projection_frustum(
-                pos, desc, normals, min_d, max_d,
+                pos[s], desc[s], normals[s], min_d[s], max_d[s],
                 frame.keypoints[cam], frame.descriptors[cam],
                 frame.kp_octaves[cam], Tcw, self.rig.K[cam],
                 scale_factor=self.rig.scale_factor,
@@ -472,15 +489,15 @@ class Tracking:
                 kp_ur=frame.kp_ur if cam == stereo_cam else None,
                 bf=self.rig.bf if cam == stereo_cam else 0.0,
             )
-            for mi, vis in enumerate(in_frustum):
+            for si, vis in enumerate(in_frustum):
                 if vis:
-                    mps[mi].n_visible += 1  # IncreaseVisible
-            for mi, ki in enumerate(idx):
+                    mps[sub[si]].n_visible += 1  # IncreaseVisible
+            for si, ki in enumerate(idx):
                 if ki < 0:
                     continue
                 g = frame.global_index(cam, int(ki))
                 if frame.matches[g] < 0:
-                    frame.matches[g] = mps[mi].id
+                    frame.matches[g] = mps[sub[si]].id
                     n_matched += 1
         return n_matched
 
@@ -497,9 +514,16 @@ class Tracking:
                 if kf is None:
                     continue
                 local_points.update(int(i) for i in kf.matches if i >= 0)
-            already = set(int(i) for i in frame.matches if i >= 0)
+            # mvnLastFrameSeen[cam] (Tracking.cc:2298-2315): record which
+            # camera each already-matched point was seen in — it is skipped
+            # there but stays eligible for visibility/matching elsewhere
+            seen_cam: dict[int, set[int]] = {}
+            for g, mp_id in enumerate(frame.matches):
+                if mp_id >= 0:
+                    cam, _ = frame.cam_of_global(g)
+                    seen_cam.setdefault(int(mp_id), set()).add(cam)
         with T.span("tlm.search_points"):
-            self._search_local_points(frame, local_points - already)
+            self._search_local_points(frame, local_points, seen_cam)
 
         # MC-RANSAC over async-camera matches (Tracking.cc:2029, 1939-2002)
         with T.span("tlm.mc_ransac"):

@@ -1025,8 +1025,11 @@ def make_ba_problem_pcg(
             J_e = jax.vmap(priors.extrinsic_prior_jac)(state.Text, data.R_prior)
             J_e = J_e * ext_act[:, None, None]
             JW_e = jnp.einsum("cij,cjk->cik", data.ext_info, J_e)
-            Dext = Dext + jnp.einsum("cri,crj->cij", JW_e, J_e)
+            Hext_prior = jnp.einsum("cri,crj->cij", JW_e, J_e)
+            Dext = Dext + Hext_prior
             bext = bext - jnp.einsum("cri,cr->ci", JW_e, r_e)
+        else:
+            Hext_prior = jnp.zeros((0, 6, 6), dtype)
 
         edges = (
             (J1m, J2m, Jem, Jlm, w_m, im, jm, cm, data.mg_lm),
@@ -1034,10 +1037,10 @@ def make_ba_problem_pcg(
             (J3, Jls, w_s, p_, data.st_lm),
             (J1p, J2p, Om, ip, jp),
         )
-        return edges, Hll, bl, bp12, bext, D12, Dext, wv
+        return edges, Hll, bl, bp12, bext, D12, Dext, wv, Hext_prior
 
     def max_abs_diag(lin):
-        edges, Hll, bl, bp12, bext, D12, Dext, wv = lin
+        edges, Hll, bl, bp12, bext, D12, Dext, wv, _ = lin
         m1 = jnp.max(
             jnp.abs(jnp.vectorize(jnp.diagonal, signature="(a,a)->(a)")(D12))
             * pose_act[:, None]
@@ -1052,7 +1055,7 @@ def make_ba_problem_pcg(
         return jnp.maximum(m1, m2)
 
     def solve(lin, lam):
-        edges, Hll, bl, bp12, bext, D12, Dext, wv = lin
+        edges, Hll, bl, bp12, bext, D12, Dext, wv, _ext_prior_H = lin
         (J1m, J2m, Jem, Jlm, w_m, im, jm, cm, lm_m) = edges[0]
         (J1g, J2g, Jlg, w_g, ig, jg, lm_g) = edges[1]
         (J3, Jls, w_s, p_, lm_s) = edges[2]
@@ -1161,17 +1164,6 @@ def make_ba_problem_pcg(
             if Cx:
                 ge = ge - ce + dampe[:, None] * xe
             return g12, ge
-
-        # extrinsic-prior Hessian (JW_e^T J_e) is needed inside Sx; recompute
-        # from Dext minus the reprojection part is not separable, so carry it:
-        if Cx:
-            # Dext = sum(Jem^T w Jem) + ext_prior_H; reconstruct prior part
-            ext_reproj = jax.ops.segment_sum(
-                jnp.einsum("eri,e,erj->eij", Jem, w_m, Jem), cm, Cx
-            )
-            _ext_prior_H = Dext - ext_reproj
-        else:
-            _ext_prior_H = jnp.zeros((0, 6, 6), dtype)
 
         # right-hand side: bs = bp - W Hll^-1 bl
         z_b = jnp.einsum("lab,lb->la", Hll_inv, bl)
@@ -1517,10 +1509,9 @@ def build_interp_tables(sid, t, valid, pad_to: int | None = None):
 
 
 def _bucket_pow2(n: int, minimum: int = 4) -> int:
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+    from ..utils.shapes import bucket_pow2
+
+    return bucket_pow2(n, minimum)
 
 
 def make_landmark_tables(mg_lm, mg_pair, mg_cam, mg_valid,
