@@ -349,10 +349,16 @@ class ORBExtractorTPU:
         return tuple(o[0] for o in out)
 
     def extract_batch(self, images: np.ndarray):
-        """(B,H,W) uint8 -> per-image lists (xy, octave, desc, angle), one
-        device round-trip for the whole batch."""
+        """(B,H,W) uint8 grayscale or (B,H,W,3) uint8 **BGR** (OpenCV
+        channel order, matching the host backend orb.py) -> per-image lists
+        (xy, octave, desc, angle), one device round-trip for the whole
+        batch. RGB callers must reverse the channel axis first."""
         if images.ndim == 4:
-            # ITU-R 601 luma, same conversion as the host backend (orb.py)
+            if images.shape[-1] != 3:
+                raise ValueError(
+                    f"4D input must be (B,H,W,3) BGR, got {images.shape}"
+                )
+            # ITU-R 601 luma on BGR, same conversion as the host backend
             images = np.clip(
                 0.114 * images[..., 0] + 0.587 * images[..., 1]
                 + 0.299 * images[..., 2], 0, 255

@@ -54,13 +54,23 @@ def camera_Twc(kf: KeyFrame, cam: int, rig: Rig) -> np.ndarray:
 
 class LocalMapping:
     def __init__(self, rig: Rig, map_: Map, b_extrinsic: bool = False,
-                 loop_closer=None):
+                 loop_closer=None, interruptible: bool = False):
         self.rig = rig
         self.map = map_
         self.b_extrinsic = b_extrinsic
         self.loop_closer = loop_closer
         self.recent_points: list[MapPoint] = []
         self.queue: list[KeyFrame] = []
+        # mbAbortBA (LocalMapping.cc:35): set by InsertKeyFrame (:215) so a
+        # keyframe arriving from tracking force-stops a running LocalGPBA at
+        # the next LM-segment boundary. Only consulted when `interruptible`
+        # (threaded mode) — the sequential schedule drains the queue between
+        # frames, so there is never a concurrent producer to abort for.
+        import threading
+
+        self.abort_ba = threading.Event()
+        self.interruptible = interruptible
+        self.n_ba_aborted = 0  # nLBA_abort diagnostic (LocalMapping.cc:150)
         self._ba = jax.jit(
             lambda d, s: local_gp_ba(
                 d, s, b_large=False, b_extrinsic=b_extrinsic,
@@ -70,6 +80,7 @@ class LocalMapping:
 
     def insert_keyframe(self, kf: KeyFrame):
         self.queue.append(kf)
+        self.abort_ba.set()  # InterruptBA (LocalMapping.cc:215)
 
     def run_once(self, lock=None) -> bool:
         """One LocalMapping::Run iteration; returns False when idle.
@@ -94,9 +105,14 @@ class LocalMapping:
             self.cull_map_points(kf)
         with ctx, T.span("lm.create_new_points"):
             self.create_new_map_points(kf)
-        with ctx, T.span("lm.fuse_neighbors"):
-            self.fuse_neighbors(kf)
-        if self.map.n_keyframes() > 2:
+        # mbAbortBA = false after triangulation (LocalMapping.cc:104); fuse
+        # and BA only run when the mapper has caught up with tracking
+        # (!CheckNewKeyFrames() gates, LocalMapping.cc:106/125)
+        self.abort_ba.clear()
+        if not self.queue:
+            with ctx, T.span("lm.fuse_neighbors"):
+                self.fuse_neighbors(kf)
+        if not self.queue and self.map.n_keyframes() > 2:
             with T.span("lm.local_ba"):
                 self.local_ba(kf, lock=lock)
         if self.loop_closer is not None:
@@ -199,6 +215,10 @@ class LocalMapping:
 
         tri_r1, tri_r2, tri_T1, tri_T2, tri_meta = [], [], [], [], []
         for nb in neighbors:
+            # a keyframe waiting in the queue aborts the neighbor sweep
+            # (LocalMapping.cc:622/651 mbAbortBA checks in CreateNewMapPoints)
+            if self.interruptible and self.abort_ba.is_set() and self.queue:
+                break
             kp2, d2, oct2, cam2, ang2 = self._global_arrays(nb)
             if len(kp2) == 0:
                 continue
@@ -452,7 +472,20 @@ class LocalMapping:
                 kf, self.map.map_points, self.rig, kf_table=self.map.keyframes
             )
         with GLOBAL_TIMER.span("lm.ba_solve"):
-            res = self._ba(data, state)
+            if self.interruptible:
+                from ..solver.ba import local_gp_ba_interruptible
+
+                res, aborted = local_gp_ba_interruptible(
+                    data, state, b_large=False, b_extrinsic=self.b_extrinsic,
+                    ext_min_obs=self.rig.ext_min_obs,
+                    should_abort=lambda: (
+                        self.abort_ba.is_set() and bool(self.queue)
+                    ),
+                )
+                if aborted:
+                    self.n_ba_aborted += 1
+            else:
+                res = self._ba(data, state)
             jax.block_until_ready(res)
         if os.environ.get("AMCSLAM_BA_DEBUG"):
             import time as _time

@@ -47,7 +47,8 @@ _optimize_sim3_jit = jax.jit(optimize_sim3, static_argnums=2)
 class LoopClosing:
     def __init__(self, rig: Rig, map_: Map, kfdb: KeyFrameDatabase | None = None,
                  fix_scale: bool = True, min_matches: int = 20,
-                 consistency_needed: int = 3, run_global_ba: bool = True):
+                 consistency_needed: int = 3, run_global_ba: bool = True,
+                 detached_gba: bool = False):
         self.rig = rig
         self.map = map_
         self.kfdb = kfdb or KeyFrameDatabase()
@@ -61,6 +62,20 @@ class LoopClosing:
         self.queue: list[KeyFrame] = []
         self.loops_closed = 0
         self._rng = np.random.RandomState(3)
+        # Detached abortable global BA (LoopClosing.cc:1036-1044 launches
+        # RunGlobalBundleAdjustment on its own thread; :811-835 aborts a
+        # running one when a newer loop arrives). `detached_gba=False`
+        # (sequential schedule) keeps the synchronous deterministic path.
+        import threading
+
+        self.detached_gba = detached_gba
+        self.full_ba_idx = 0                   # mnFullBAIdx
+        self.gba_abort = threading.Event()     # mbStopGBA
+        self.running_gba = False               # mbRunningGBA
+        self.gba_thread: threading.Thread | None = None
+        self._gba_lock = threading.Lock()      # mMutexGBA
+        self.n_gba_aborted = 0                 # nFGBA_abort diagnostic
+        self.n_gba_applied = 0
 
     def insert_keyframe(self, kf: KeyFrame):
         self.queue.append(kf)
@@ -338,6 +353,13 @@ class LoopClosing:
     def correct_loop(self, kf: KeyFrame, loop_kf: KeyFrame, S12: Sim3):
         """CorrectLoop (LoopClosing.cc:805-1206): propagate the corrected
         Sim3 to covisible KFs + landmarks, then essential-graph optimize."""
+        # a newer loop kills any global BA still running for the previous
+        # one (LoopClosing.cc:814-829: mbStopGBA=true, mnFullBAIdx++, thread
+        # detached — its result is discarded on the idx check)
+        if self.running_gba:
+            with self._gba_lock:
+                self.gba_abort.set()
+                self.full_ba_idx += 1
         # S12 aligns loop-KF body coords into CURRENT-KF body coords
         # (Xb_cur = S12 . Xb_loop, from the Horn/OptimizeSim3 data layout).
         # A physical point X_w = T_loop . Xb_loop must also equal
@@ -379,7 +401,10 @@ class LoopClosing:
         self._essential_graph(kf, loop_kf)
         self._search_and_fuse(kf, loop_kf)
         if self.run_global_ba:
-            self._run_global_ba()
+            if self.detached_gba:
+                self._launch_global_ba()
+            else:
+                self._run_global_ba()
         self.map.increase_change_index()
         self.loops_closed += 1
 
@@ -465,6 +490,75 @@ class LoopClosing:
         if not np.isfinite(err_end):
             return
         apply_global_ba(new_state, handles, self.map)
+        self.n_gba_applied += 1
+
+    # ------------------------------------------------------------------
+    def _launch_global_ba(self, num_iterations: int = 10):
+        """Start RunGlobalBundleAdjustment on its own thread
+        (LoopClosing.cc:1036-1044: mbRunningGBA=true, mbStopGBA=false,
+        mpThreadGBA = new thread). Tracking and local mapping keep running;
+        the write-back is staged under the map mutex on completion."""
+        import threading
+
+        if self.map.n_keyframes() < 3:
+            return
+        with self._gba_lock:
+            self.gba_abort.clear()
+            self.running_gba = True
+            idx = self.full_ba_idx
+        self.gba_thread = threading.Thread(
+            target=self._gba_worker, args=(idx, num_iterations), daemon=True
+        )
+        self.gba_thread.start()
+
+    def _gba_worker(self, idx: int, num_iterations: int):
+        """RunGlobalBundleAdjustment (LoopClosing.cc:1206-1339): snapshot
+        the map under its mutex, solve WITHOUT the lock (tracking/mapping
+        stay live, possibly inserting keyframes), poll the stop flag between
+        LM segments, and — only if neither aborted nor superseded
+        (idx == mnFullBAIdx, :1245-1249) — re-acquire the map mutex and
+        apply the staged write-back, which propagates the correction to
+        keyframes created while the BA ran (apply_global_ba's prev-chain
+        walk = the reference's mTbwGBA spanning-tree pass, :1266-1330)."""
+        from ..solver.ba import global_ba_interruptible
+        from .extraction import apply_global_ba, extract_global_ba
+
+        try:
+            with self.map.mutex:
+                if self.map.n_keyframes() < 3:
+                    return
+                data, state, handles = extract_global_ba(self.map, self.rig)
+            new_state, stats, aborted = global_ba_interruptible(
+                data, state, num_iterations,
+                should_abort=lambda: (
+                    self.gba_abort.is_set() or idx != self.full_ba_idx
+                ),
+            )
+            if aborted or self.gba_abort.is_set() or idx != self.full_ba_idx:
+                self.n_gba_aborted += 1
+                return
+            err_end = float(stats.chi2)
+            if not np.isfinite(err_end):
+                return
+            with self.map.mutex:
+                with self._gba_lock:
+                    if idx != self.full_ba_idx:
+                        self.n_gba_aborted += 1
+                        return
+                apply_global_ba(new_state, handles, self.map)
+                self.map.increase_change_index()
+                self.n_gba_applied += 1
+        finally:
+            with self._gba_lock:
+                if idx == self.full_ba_idx:
+                    self.running_gba = False
+
+    def join_gba(self, timeout: float | None = None):
+        """Block until the detached GBA (if any) finishes — shutdown and
+        deterministic test sync point (the reference only ever detaches)."""
+        t = self.gba_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
 
     def _essential_graph(self, kf: KeyFrame, loop_kf: KeyFrame):
         """OptimizeEssentialGraph over S_cw vertices: spanning/temporal chain

@@ -39,14 +39,19 @@ class System:
         self.rig = rig
         self.atlas = Atlas()
         self.kfdb = KeyFrameDatabase()
+        # threaded mode gets the reference's interruption semantics: a
+        # detached abortable global BA (LoopClosing.cc:1036-1044) and the
+        # mbAbortBA force-stop on the local BA (LocalMapping.cc:215); the
+        # sequential schedule stays synchronous and deterministic.
         self.loop_closer = (
-            LoopClosing(rig, self.atlas.active, self.kfdb)
+            LoopClosing(rig, self.atlas.active, self.kfdb,
+                        detached_gba=threaded)
             if enable_loop_closing
             else None
         )
         self.local_mapper = LocalMapping(
             rig, self.atlas.active, b_extrinsic=b_extrinsic,
-            loop_closer=self.loop_closer,
+            loop_closer=self.loop_closer, interruptible=threaded,
         )
         self.tracker = Tracking(
             rig, self.atlas, tracking_config, local_mapper=self.local_mapper,
@@ -140,6 +145,8 @@ class System:
         self._stop = True
         if self.threaded:
             self._worker.join(timeout=5)
+        if self.loop_closer is not None:
+            self.loop_closer.join_gba(timeout=600)
 
     # ------------------------------------------------------------------
     def save_trajectory_tum(self, path: str):

@@ -35,7 +35,7 @@ import numpy as np
 from ..factors import gp_prior, priors, reprojection
 from ..ops import gp, lie
 from . import robust
-from .lm import LMProblem, lm_optimize
+from .lm import LMCarry, LMProblem, LMStats, lm_init, lm_optimize, lm_segment
 
 # Env-gated PCG convergence tracing (iteration count + relative residual).
 import os as _os
@@ -534,6 +534,18 @@ def make_ba_problem(
         bl = jnp.zeros((L, 3), dtype)
 
         def add_seg(Hs, bs, cols):
+            """Queue (S,w,w) blocks for the unified Hpp assembly.
+
+            INVARIANT (relied on by the 12-aligned segment-sum below): each
+            `cols` row must decompose into 12-wide groups whose entries are
+            `base + offset` with `base % 12 == 0` — i.e. cols[:, 0/12/24]
+            are 12-aligned group starts and columns are contiguous within
+            each group (shorter widths are zero-padded up to 30, and zeros
+            satisfy the invariant trivially because the padded values are
+            zero). A caller violating this corrupts Hpp silently;
+            make_structure_ids asserts it for the table-driven path, and
+            the inline cols built here (GP chain :705, extrinsic prior
+            :721) are 12*idx + arange by construction."""
             w_ = Hs.shape[1]
             if w_ < 30:
                 Hs = jnp.pad(Hs, ((0, 0), (0, 30 - w_), (0, 30 - w_)))
@@ -1346,12 +1358,24 @@ def local_gp_ba(
             problem2, new_state, opt_it2, lambda_init=lambda_init
         )
 
-    err_final = problem.chi2(new_state)
-    ok = ~((2.0 * err_initial < err_final) | jnp.isnan(err_initial) | jnp.isnan(err_final))
-    if b_large:
-        ok = jnp.asarray(True)
+    return _lba_finalize(data, state, new_state, err_initial,
+                         jnp.asarray(bool(b_large)))
 
-    # outlier detection at the final state (Optimizer.cc:1259-1338)
+
+def _lba_finalize(data: LocalBAData, state: BAState, new_state: BAState,
+                  err_initial, force_ok) -> LocalBAResult:
+    """Shared LocalGPBA epilogue: final chi2 + divergence guard + outlier
+    detection at the final state (Optimizer.cc:1259-1338). `force_ok` skips
+    the divergence guard (bLarge, Optimizer.cc:1246-1250)."""
+    problem = make_ba_problem(
+        data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True
+    )
+    err_final = problem.chi2(new_state)
+    ok = force_ok | ~(
+        (2.0 * err_initial < err_final)
+        | jnp.isnan(err_initial) | jnp.isnan(err_final)
+    )
+
     r_m, _, _, _, _, Xc_m = _mono_gp_eval(data, new_state)
     chi_m = jnp.sum(r_m * r_m, -1) * data.mg_w
     erase_m = data.mg_valid & (
@@ -1402,6 +1426,150 @@ def global_ba(data: LocalBAData, state: BAState, num_iterations: int = 10):
         data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True
     )
     return lm_optimize(problem, state, num_iterations, lambda_init=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Interruptible drivers: host-segmented LM with between-segment abort
+# checks. This is the TPU-native counterpart of g2o's setForceStopFlag —
+# the reference passes &mbAbortBA into LocalGPBA (Optimizer.cc:79-80 /
+# LocalMapping.cc:131) and &mbStopGBA into the detached global BA
+# (Optimizer.cc:1254-1255 via LoopClosing.cc:1222), checked once per LM
+# iteration. A jitted lax.while_loop cannot poll a host flag, so the
+# schedule is cut into segments of `seg_iters` outer iterations; the full
+# LM carry (solver/lm.py LMCarry) is checkpointed between segments, making
+# the un-aborted segmented run BIT-IDENTICAL to the monolithic one (pinned
+# by tests/test_abort_ba.py).
+
+
+@jax.jit
+def _ilm_init(data: LocalBAData, state: BAState) -> LMCarry:
+    problem = make_ba_problem(
+        data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True
+    )
+    return lm_init(problem, state)
+
+
+@jax.jit
+def _ilm_seg(data: LocalBAData, carry: LMCarry, it_end, lambda_init) -> LMCarry:
+    problem = make_ba_problem(
+        data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True
+    )
+    return lm_segment(problem, carry, it_end, lambda_init=lambda_init)
+
+
+@jax.jit
+def _ilm_init_ext(data: LocalBAData, state: BAState, ext_active) -> LMCarry:
+    problem = make_ba_problem(
+        data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True,
+        ext_active=ext_active,
+    )
+    return lm_init(problem, state)
+
+
+@jax.jit
+def _ilm_seg_ext(data: LocalBAData, carry: LMCarry, ext_active, it_end,
+                 lambda_init) -> LMCarry:
+    problem = make_ba_problem(
+        data, data.mg_valid, data.sg_valid, data.st_valid, huber_on=True,
+        ext_active=ext_active,
+    )
+    return lm_segment(problem, carry, it_end, lambda_init=lambda_init)
+
+
+_lba_finalize_jit = jax.jit(_lba_finalize)
+
+
+def _run_segments(seg_fn, carry: LMCarry, total_iters: int, seg_iters: int,
+                  should_abort) -> tuple[LMCarry, bool]:
+    """Drive `seg_fn(carry, it_end)` to `total_iters` in `seg_iters` chunks,
+    polling `should_abort()` between chunks (host-blocking on each boundary;
+    the final chunk is left async for the caller). Returns (carry, aborted).
+    """
+    it = 0
+    aborted = False
+    while it < total_iters:
+        it = min(it + max(1, seg_iters), total_iters)
+        carry = seg_fn(carry, jnp.asarray(it, jnp.int32))
+        if it >= total_iters:
+            break
+        if bool(jax.device_get(carry.term)):  # blocks until segment done
+            break
+        if should_abort is not None and should_abort():
+            aborted = True
+            break
+    return carry, aborted
+
+
+def local_gp_ba_interruptible(
+    data: LocalBAData,
+    state: BAState,
+    b_large: bool = False,
+    b_extrinsic: bool = False,
+    ext_obs_count=None,
+    ext_min_obs: int = 50,
+    should_abort=None,
+    seg_iters: int = 4,
+):
+    """local_gp_ba with the reference's mbAbortBA force-stop semantics
+    (LocalMapping.cc:131/215: a new keyframe arriving interrupts the running
+    LocalGPBA; g2o stops at the next iteration boundary and the partial
+    iterate is still recovered/written back). Returns (LocalBAResult,
+    aborted). Bit-identical to local_gp_ba when no abort fires; an abort
+    skips the remaining schedule (incl. the whole extrinsic phase, matching
+    bDoMore=false at LocalMapping.cc:148)."""
+    lambda_init = jnp.asarray(1e-2 if b_large else 1.0)
+    carry = _ilm_init(data, state)
+    carry, aborted = _run_segments(
+        lambda c, e: _ilm_seg(data, c, e, lambda_init),
+        carry, 10, seg_iters, should_abort,
+    )
+    new_state = carry.state
+
+    if b_extrinsic and not aborted:
+        counts = (
+            ext_obs_count
+            if ext_obs_count is not None
+            else jax.ops.segment_sum(
+                data.mg_valid.astype(jnp.int32), data.mg_cam, data.n_ext
+            )
+        )
+        ext_active = counts >= ext_min_obs
+        carry2 = _ilm_init_ext(data, new_state, ext_active)
+        opt_it2 = 4 if b_large else 10
+        carry2, aborted = _run_segments(
+            lambda c, e: _ilm_seg_ext(data, c, ext_active, e, lambda_init),
+            carry2, opt_it2, seg_iters, should_abort,
+        )
+        new_state = carry2.state
+
+    return (
+        _lba_finalize_jit(data, state, new_state, carry.chi0,
+                          jnp.asarray(bool(b_large))),
+        aborted,
+    )
+
+
+def global_ba_interruptible(
+    data: LocalBAData,
+    state: BAState,
+    num_iterations: int = 10,
+    should_abort=None,
+    seg_iters: int = 2,
+):
+    """global_ba with the detached-GBA stop flag (mbStopGBA,
+    LoopClosing.cc:811-835 / Optimizer.cc:1254-1255): polls `should_abort`
+    between LM segments so a newer loop closure can kill a running global
+    BA. Returns (state, LMStats, aborted); an aborted run's result must be
+    DISCARDED by the caller (RunGlobalBundleAdjustment only writes back
+    `if(!mbStopGBA)`, LoopClosing.cc:1249)."""
+    carry = _ilm_init(data, state)
+    carry, aborted = _run_segments(
+        lambda c, e: _ilm_seg(data, c, e, jnp.asarray(1e-5)),
+        carry, num_iterations, seg_iters, should_abort,
+    )
+    stats = LMStats(chi2=carry.chi, iterations=carry.it, lam=carry.lam,
+                    initial_chi2=carry.chi0)
+    return carry.state, stats, aborted
 
 
 def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
@@ -1461,6 +1629,27 @@ def make_structure_ids(pairs: "np.ndarray", cams: "np.ndarray | None", valid,
         cols[s_i] = base
     # dump structure (index 0) carries zero blocks; its columns are 0..w-1
     # but contribute nothing (zero values)
+    #
+    # Enforce the add_seg 12-aligned-group invariant the unified Hpp
+    # assembly relies on (ba.py `units = cols_all[:, ::12] // 12`): group
+    # starts 12-aligned, columns contiguous within each 12-group. Padded
+    # zero rows satisfy it trivially. Host-side and O(S) — cheap relative
+    # to problem extraction; fails loudly instead of corrupting Hpp.
+    starts = cols[:, ::12]
+    if (starts % 12).any():
+        raise AssertionError("make_structure_ids: group start not 12-aligned")
+    for g0 in range(0, width, 12):
+        gw = min(12, width - g0)
+        grp = cols[:, g0:g0 + gw]
+        if (grp != grp[:, :1] + _np.arange(gw)[None, :]).any():
+            # the 6-wide extrinsic tail group only fills offsets 0..5; the
+            # remaining padded zeros are exempt (zero-valued blocks)
+            nz = grp != 0
+            bad = nz & (grp != grp[:, :1] + _np.arange(gw)[None, :])
+            if bad.any():
+                raise AssertionError(
+                    "make_structure_ids: non-contiguous columns in group"
+                )
     return inv.astype(_np.int32), cols
 
 

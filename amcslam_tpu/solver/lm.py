@@ -49,22 +49,58 @@ class LMStats(NamedTuple):
     initial_chi2: jax.Array
 
 
-def lm_optimize(
+class LMCarry(NamedTuple):
+    """Full LM loop state, checkpointable between outer iterations.
+
+    Segmenting a schedule through `lm_segment` (e.g. 10 iterations as
+    4+3+3 with host abort checks between segments) reproduces the single
+    `lm_optimize` call bit-for-bit: every quantity an outer iteration reads
+    is carried, so the op sequence is identical — this is what backs the
+    reference's `setForceStopFlag` force-stop (g2o
+    optimization_algorithm_levenberg.cpp:61-166 checked per iteration;
+    Optimizer.cc:79-80/1254-1255 pass &mbAbortBA / &mbStopGBA)."""
+
+    state: Any
+    chi: jax.Array
+    lam: jax.Array
+    ni: jax.Array
+    nbad: jax.Array
+    it: jax.Array
+    term: jax.Array
+    chi0: jax.Array
+
+
+def lm_init(problem: LMProblem, state0: Any) -> LMCarry:
+    """Start an LM run: evaluate chi2 once and build the zero-iteration carry."""
+    chi0 = problem.chi2(state0)
+    dtype = chi0.dtype
+    return LMCarry(
+        state=state0,
+        chi=chi0,
+        lam=jnp.asarray(0.0, dtype),
+        ni=jnp.asarray(2.0, dtype),
+        nbad=jnp.asarray(0, jnp.int32),
+        it=jnp.asarray(0, jnp.int32),
+        term=jnp.asarray(False),
+        chi0=chi0,
+    )
+
+
+def lm_segment(
     problem: LMProblem,
-    state0: Any,
-    num_iterations: int,
+    carry: LMCarry,
+    num_iterations,
     lambda_init: float = 0.0,
     tau: float = 1e-5,
     max_trials: int = 10,
-):
-    """Run up to `num_iterations` LM outer iterations; returns (state, LMStats).
-
-    `num_iterations` and `max_trials` are static; everything else is traced.
-    Matches `SparseOptimizer::optimize` + the Levenberg control law above.
+) -> LMCarry:
+    """Advance the LM loop until `carry.it` reaches `num_iterations` (an
+    ABSOLUTE cap, traceable so segment programs are shape-stable) or the
+    g2o termination criteria fire. Resume by calling again with a higher cap.
     """
-    chi0 = problem.chi2(state0)
-    dtype = chi0.dtype
+    dtype = carry.chi.dtype
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    it_end = jnp.asarray(num_iterations, jnp.int32)
 
     def outer_body(carry):
         state, cur_chi, lam, ni, nbad, it, terminated = carry
@@ -123,16 +159,33 @@ def lm_optimize(
 
     def outer_cond(carry):
         _, _, _, _, _, it, terminated = carry
-        return (it < num_iterations) & (~terminated)
+        return (it < it_end) & (~terminated)
 
     init = (
-        state0,
-        chi0,
-        jnp.asarray(0.0, dtype),
-        jnp.asarray(2.0, dtype),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(False),
+        carry.state, carry.chi, carry.lam, carry.ni, carry.nbad, carry.it,
+        carry.term,
     )
     state, chi, lam, ni, nbad, it, term = lax.while_loop(outer_cond, outer_body, init)
-    return state, LMStats(chi2=chi, iterations=it, lam=lam, initial_chi2=chi0)
+    return LMCarry(state=state, chi=chi, lam=lam, ni=ni, nbad=nbad, it=it,
+                   term=term, chi0=carry.chi0)
+
+
+def lm_optimize(
+    problem: LMProblem,
+    state0: Any,
+    num_iterations: int,
+    lambda_init: float = 0.0,
+    tau: float = 1e-5,
+    max_trials: int = 10,
+):
+    """Run up to `num_iterations` LM outer iterations; returns (state, LMStats).
+
+    Matches `SparseOptimizer::optimize` + the Levenberg control law above.
+    One-segment wrapper over lm_init/lm_segment.
+    """
+    c = lm_segment(
+        problem, lm_init(problem, state0), num_iterations,
+        lambda_init=lambda_init, tau=tau, max_trials=max_trials,
+    )
+    return c.state, LMStats(chi2=c.chi, iterations=c.it, lam=c.lam,
+                            initial_chi2=c.chi0)

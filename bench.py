@@ -65,8 +65,23 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+N_REPEAT = 2 if SMOKE else 5  # median-of-N timing blocks (tunnel variance)
+
+
+def _median_band(samples):
+    """(median, [min, max]) of per-block ms samples, rounded for the JSON."""
+    med = float(np.median(samples))
+    return med, [round(float(min(samples)), 4), round(float(max(samples)), 4)]
+
+
 def time_lm_iteration(problem, state0, n_warm=3, n_iter=20, lam=1.0):
-    """Steady-state ms per chained LM iteration (linearize+solve+retract+chi2)."""
+    """Steady-state ms per chained LM iteration (linearize+solve+retract+chi2).
+
+    Runs N_REPEAT independently-timed blocks of `n_iter` chained iterations
+    and reports the MEDIAN block (with the min..max band) — single-block
+    numbers moved 4.8-5.2 ms run-to-run on the tunnel (round-3 band), so a
+    robust location estimate is part of the bench contract now.
+    Returns (ms_median, band, end_state)."""
 
     @jax.jit
     def lm_iteration(state, lam):
@@ -84,13 +99,17 @@ def time_lm_iteration(problem, state0, n_warm=3, n_iter=20, lam=1.0):
     for _ in range(n_warm):
         s, chi = lm_iteration(s, lam)
     jax.block_until_ready((s, chi))
-    s = state0
-    t0 = time.time()
-    for _ in range(n_iter):
-        s, chi = lm_iteration(s, lam)
-    jax.block_until_ready((s, chi))
-    ms = (time.time() - t0) / n_iter * 1e3
-    return ms, s
+    samples = []
+    for _ in range(N_REPEAT):
+        s = state0
+        t0 = time.time()
+        for _ in range(n_iter):
+            s, chi = lm_iteration(s, lam)
+        jax.block_until_ready((s, chi))
+        samples.append((time.time() - t0) / n_iter * 1e3)
+    ms, band = _median_band(samples)
+    _log(f"  blocks: {[round(x, 3) for x in samples]} -> median {ms:.3f}")
+    return ms, band, s
 
 
 def bench_pose_only():
@@ -109,11 +128,14 @@ def bench_pose_only():
         out = solve(data, state0, om, os_)
     jax.block_until_ready(out)
     n = 20
-    t0 = time.time()
-    for _ in range(n):
-        out = solve(data, state0, om, os_)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / n * 1e3
+    samples = []
+    for _ in range(N_REPEAT):
+        t0 = time.time()
+        for _ in range(n):
+            out = solve(data, state0, om, os_)
+        jax.block_until_ready(out)
+        samples.append((time.time() - t0) / n * 1e3)
+    return _median_band(samples)
 
 
 def bench_local_ba(gpobs_per_lm, tag):
@@ -127,8 +149,8 @@ def bench_local_ba(gpobs_per_lm, tag):
         f"mono-GP={data.mg_obs.shape[0]} stereo={data.st_obs.shape[0]}"
     )
     problem = make_ba_problem(data, data.mg_valid, data.sg_valid, data.st_valid)
-    ms, s_out = time_lm_iteration(problem, state0)
-    return ms, data, s_out
+    ms, band, s_out = time_lm_iteration(problem, state0)
+    return ms, band, data, s_out
 
 
 def bench_vi_ba():
@@ -136,16 +158,16 @@ def bench_vi_ba():
     data, state0, _ = make_vi_ba_synthetic(n_kf=kf, n_lm=lm, seed=0, dtype=DTYPE)
     _log(f"vi_ba: K={kf} L={lm} E={data.obs.shape[0]}")
     problem = make_vi_ba_problem(data)
-    ms, _ = time_lm_iteration(problem, state0, lam=1.0)
-    return ms
+    ms, band, _ = time_lm_iteration(problem, state0, lam=1.0)
+    return ms, band
 
 def bench_essential_graph():
     kf, nl = (40, 5) if SMOKE else (500, 40)
     data, state0, _ = make_essential_graph(n_kf=kf, n_loop=nl, seed=0, dtype=DTYPE)
     _log(f"sim3_graph: N={kf} E={data.pairs.shape[0]}")
     problem = make_essential_graph_problem(data)
-    ms, _ = time_lm_iteration(problem, state0, lam=1e-8)
-    return ms
+    ms, band, _ = time_lm_iteration(problem, state0, lam=1e-8)
+    return ms, band
 
 
 def bench_essential_graph_5k():
@@ -158,8 +180,8 @@ def bench_essential_graph_5k():
     # so the inner CG only needs enough accuracy to produce a descent step
     # (measured: chi2 after 6 LM iters within 0.01% of tol=1e-6)
     problem = make_essential_graph_problem_pcg(data, pcg_iters=100, pcg_tol=1e-3)
-    ms, _ = time_lm_iteration(problem, state0, lam=1e-8, n_iter=5)
-    return ms
+    ms, band, _ = time_lm_iteration(problem, state0, lam=1e-8, n_iter=5)
+    return ms, band
 
 
 def bench_10km_ate():
@@ -217,8 +239,8 @@ def bench_global_ba_pcg():
         data, data.mg_valid, data.sg_valid, data.st_valid,
         pcg_iters=100, pcg_tol=1e-3,  # inexact-Newton forcing (see 5c note)
     )
-    ms, _ = time_lm_iteration(problem, state0, lam=1e-3, n_iter=5)
-    return ms
+    ms, band, _ = time_lm_iteration(problem, state0, lam=1e-3, n_iter=5)
+    return ms, band
 
 
 def parity_f64(state_f32):
@@ -261,9 +283,11 @@ def main():
     results = {}
 
     _log("config 3: sparse-GP continuous-time local BA (headline)")
-    headline_ms, data3, s3 = bench_local_ba(gpobs_per_lm=2, tag="gp_local_ba")
+    headline_ms, headline_band, data3, s3 = bench_local_ba(
+        gpobs_per_lm=2, tag="gp_local_ba")
     results["gp_local_ba_ms_per_iter"] = round(headline_ms, 4)
-    _log(f"  {headline_ms:.3f} ms/iter")
+    results["gp_local_ba_ms_band"] = headline_band
+    _log(f"  {headline_ms:.3f} ms/iter (band {headline_band})")
 
     # parity: same state, f32-on-device vs f64-on-CPU chi2
     problem3 = make_ba_problem(data3, data3.mg_valid, data3.sg_valid, data3.st_valid)
@@ -277,42 +301,54 @@ def main():
     _log(f"parity: {parity}")
 
     _log("config 1: pose-only per-frame solve (4x10)")
-    results["pose_only_ms_per_solve"] = round(bench_pose_only(), 4)
-    _log(f"  {results['pose_only_ms_per_solve']:.3f} ms/solve")
+    ms1, band1 = bench_pose_only()
+    results["pose_only_ms_per_solve"] = round(ms1, 4)
+    results["pose_only_ms_band"] = band1
+    _log(f"  {ms1:.3f} ms/solve (band {band1})")
 
     _log("config 2: local Schur BA (no GP edges)")
-    ms2, _, _ = bench_local_ba(gpobs_per_lm=0, tag="schur_ba")
+    ms2, band2, _, _ = bench_local_ba(gpobs_per_lm=0, tag="schur_ba")
     results["schur_ba_ms_per_iter"] = round(ms2, 4)
-    _log(f"  {ms2:.3f} ms/iter")
+    results["schur_ba_ms_band"] = band2
+    _log(f"  {ms2:.3f} ms/iter (band {band2})")
 
     _log("config 4: visual-inertial BA (IMU preintegration)")
-    results["vi_ba_ms_per_iter"] = round(bench_vi_ba(), 4)
-    _log(f"  {results['vi_ba_ms_per_iter']:.3f} ms/iter")
+    ms4, band4 = bench_vi_ba()
+    results["vi_ba_ms_per_iter"] = round(ms4, 4)
+    results["vi_ba_ms_band"] = band4
+    _log(f"  {ms4:.3f} ms/iter (band {band4})")
 
     _log("config 5a: Sim3 essential graph, 500 KF")
-    results["sim3_graph_ms_per_iter"] = round(bench_essential_graph(), 4)
-    _log(f"  {results['sim3_graph_ms_per_iter']:.3f} ms/iter")
+    ms5, band5 = bench_essential_graph()
+    results["sim3_graph_ms_per_iter"] = round(ms5, 4)
+    results["sim3_graph_ms_band"] = band5
+    _log(f"  {ms5:.3f} ms/iter (band {band5})")
 
     _log("config 5c: Sim3 essential graph at 5000 KF (PCG)")
-    results["sim3_graph_5k_ms_per_iter"] = round(bench_essential_graph_5k(), 4)
-    _log(f"  {results['sim3_graph_5k_ms_per_iter']:.3f} ms/iter")
+    ms5c, band5c = bench_essential_graph_5k()
+    results["sim3_graph_5k_ms_per_iter"] = round(ms5c, 4)
+    results["sim3_graph_5k_ms_band"] = band5c
+    _log(f"  {ms5c:.3f} ms/iter (band {band5c})")
 
     _log("config 5e: 10 km / 4-lap pose graph, aligned ATE after PCG closure")
     results["sim3_graph_10km_ate_pct"] = round(bench_10km_ate(), 4)
     _log(f"  {results['sim3_graph_10km_ate_pct']:.4f}% of path (contract: <=0.5%)")
 
     _log("config 5d: global BA at 2000 KF / 10k pts (Schur PCG)")
-    results["global_ba_pcg_2k_ms_per_iter"] = round(bench_global_ba_pcg(), 4)
-    _log(f"  {results['global_ba_pcg_2k_ms_per_iter']:.3f} ms/iter")
+    ms5d, band5d = bench_global_ba_pcg()
+    results["global_ba_pcg_2k_ms_per_iter"] = round(ms5d, 4)
+    results["global_ba_pcg_2k_ms_band"] = band5d
+    _log(f"  {ms5d:.3f} ms/iter (band {band5d})")
 
     _log("config 5b: global BA (Huber GP chain) per iter")
     data_g = data3._replace(gp_huber=jnp.asarray(True))
     problem_g = make_ba_problem(
         data_g, data_g.mg_valid, data_g.sg_valid, data_g.st_valid, huber_on=True
     )
-    ms_g, _ = time_lm_iteration(problem_g, s3)
+    ms_g, band_g, _ = time_lm_iteration(problem_g, s3)
     results["global_ba_ms_per_iter"] = round(ms_g, 4)
-    _log(f"  {ms_g:.3f} ms/iter")
+    results["global_ba_ms_band"] = band_g
+    _log(f"  {ms_g:.3f} ms/iter (band {band_g})")
 
     print(
         json.dumps(
@@ -321,6 +357,8 @@ def main():
                 "value": round(headline_ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / headline_ms, 3),
+                "band": headline_band,
+                "n_repeat": N_REPEAT,
                 "configs": results,
                 "parity": parity,
             }

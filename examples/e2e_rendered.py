@@ -148,8 +148,12 @@ def make_device_renderer(planes):
     return render_all
 
 
-def make_rig() -> Rig:
-    """2 async monos (yawed left/right) + forward stereo pair."""
+def make_rig(n_async: int = 2) -> Rig:
+    """`n_async` async monos (yawed around the body) + forward stereo pair.
+
+    n_async=2 is the compact test rig; n_async=5 reproduces the reference's
+    AMV convention of 5 async cameras + 1 stereo pair = 7 images per tick
+    (orb_multicam.yaml:3-14, System.cc:213-218)."""
 
     def rotz(a):
         c, s = np.cos(a), np.sin(a)
@@ -163,8 +167,13 @@ def make_rig() -> Rig:
         T[:3, :3] = rotz(yaw) @ R_b_cam
         return T
 
-    Tbc = np.stack([cam_T(0.5), cam_T(-0.5), cam_T(0.0)])
-    K = np.tile(K4, (3, 1))
+    if n_async == 2:
+        yaws = [0.5, -0.5]
+    else:
+        # spread across the forward hemisphere + flanks (AMV-style surround)
+        yaws = list(np.linspace(1.6, -1.6, n_async))
+    Tbc = np.stack([cam_T(y) for y in yaws] + [cam_T(0.0)])
+    K = np.tile(K4, (n_async + 1, 1))
     return Rig(Tbc=Tbc, K=K, bf=400.0 * 0.2,
                qc_diag=np.full(6, 1.0), n_levels=8)
 
@@ -193,10 +202,51 @@ def gt_pose_circle(t: float, period: float = 10.0, radius: float = 1.5):
     return T
 
 
+def gt_pose_eight(t: float, period: float = 16.0, radius: float = 5.0):
+    """Figure-eight of two externally tangent circles, both transited
+    through the tangent point (0,0) heading +y — so the junction region is
+    revisited in the SAME direction on every transit, and each circle's lap
+    closure revisits its own start. `period` is the time for ONE circle;
+    the full eight takes 2*period. Circle A (center (-R,0)) runs
+    counter-clockwise, circle B (center (+R,0)) clockwise:
+
+      A: p = (-R + R cos u,  R sin u),  yaw = u + pi/2
+      B: p = ( R - R cos u,  R sin u),  yaw = pi/2 - u
+
+    (headings match at u = 0 mod 2pi, so the path is C1 at the junction).
+    Driving 2+ transits fires MULTIPLE sequential loop closures from the
+    keyframe database — the reference's continuous multi-loop replay shape
+    (multicam_amv.cc:61-137 over a course with several revisits)."""
+    u = 2 * np.pi * (t % period) / period
+    on_b = int(t // period) % 2 == 1
+    if on_b:
+        pos = [radius - radius * np.cos(u), radius * np.sin(u)]
+        yaw = np.pi / 2 - u
+    else:
+        pos = [-radius + radius * np.cos(u), radius * np.sin(u)]
+        yaw = np.pi / 2 + u
+    c, s = np.cos(yaw), np.sin(yaw)
+    T = np.eye(4)
+    T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    T[:3, 3] = [pos[0], pos[1], 1.5]
+    return T
+
+
 def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         circle=False, circle_period=16.0, circle_radius=5.0,
-        n_features=800, device_render=False):
-    if circle:
+        n_features=800, device_render=False, eight=False, n_async=2,
+        blackout=None, collect=None):
+    """`eight=True`: figure-eight course with multiple same-direction
+    revisits (multi-loop closures). `n_async`: async mono count (5 = the
+    AMV rig width, 7 images/tick). `blackout=(k0, n)`: frames k0..k0+n-1
+    render black — tracking must ride OK -> RECENTLY_LOST -> relocalize.
+    `collect`: optional dict that receives per-frame states + the System."""
+    if eight:
+        half = max(12.0, 2.0 * circle_radius + 10.0)
+        planes = make_world(seed, half=half, ceiling=6.0,
+                            span=max(40.0, 2.0 * half + 8.0))
+        pose_fn = lambda t: gt_pose_eight(t, circle_period, circle_radius)
+    elif circle:
         # loop-closure scenario: a big circle in a big non-repeating box so
         # the far side looks different from the start, odometry drift
         # accumulates over the lap, and the revisit must be closed by the
@@ -211,8 +261,9 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         planes = make_world(seed)
         pose_fn = gt_pose
     renderer = make_device_renderer(planes) if device_render else None
-    rig = make_rig()
-    extractors = make_extractors(4, n_features)
+    rig = make_rig(n_async)
+    C = rig.n_cams
+    extractors = make_extractors(C + 1, n_features)
     cfg = TrackingConfig(max_frames_between_kf=5, min_local_matches=15,
                          ransac_min_match=15)
     slam = System(rig, tracking_config=cfg, threaded=threaded)
@@ -223,12 +274,13 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
     def frame_views(k):
         ts = k / fps
         cam_times = rig.cam_times(ts)
-        views = [pose_fn(cam_times[c]) @ rig.Tbc[c] for c in range(3)]
-        views.append(pose_fn(ts) @ rig.Tbc[2] @ Tright)
+        views = [pose_fn(cam_times[c]) @ rig.Tbc[c] for c in range(C)]
+        views.append(pose_fn(ts) @ rig.Tbc[C - 1] @ Tright)
         return views
 
     gt_t, gt_T = [], []
     track_times = []
+    states = []
     t_render = t_extract = t_track = 0.0
     pending = renderer.dispatch(frame_views(0)) if renderer is not None else None
     for k in range(n_frames):
@@ -241,6 +293,10 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
                 pending = renderer.dispatch(frame_views(k + 1))
         else:
             *imgs, img_r = [render(T, planes) for T in frame_views(k)]
+        if blackout is not None and blackout[0] <= k < blackout[0] + blackout[1]:
+            # sensor dropout: the tracker sees featureless black frames
+            imgs = [np.zeros_like(im) for im in imgs]
+            img_r = np.zeros_like(img_r)
         t_render += time.time() - t0
 
         t0 = time.time()
@@ -248,10 +304,11 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         t_extract += time.time() - t0
 
         t0 = time.time()
-        slam.track_multicamera(frame)
+        state = slam.track_multicamera(frame)
         dt_track = time.time() - t0
         t_track += dt_track
         track_times.append(dt_track)
+        states.append(state)
 
         gt_t.append(ts)
         gt_T.append(pose_fn(ts))
@@ -294,6 +351,16 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         draw_map(slam.atlas.active, trajectory=traj,
                  path=plot)
         print(f"map render -> {plot}")
+    if collect is not None:
+        collect["states"] = states
+        collect["system"] = slam
+        collect["est"] = (est_t, est_T)
+        collect["gt"] = (np.array(gt_t), np.stack(gt_T))
+        collect["timing"] = {
+            "extract_ms": t_extract / n_frames * 1e3,
+            "track_ms_median": float(np.median(track_times) * 1e3),
+            "track_ms": [float(x * 1e3) for x in track_times],
+        }
     return ate, dist, n_loops
 
 
@@ -314,11 +381,27 @@ if __name__ == "__main__":
     ap.add_argument("--device-render", action="store_true",
                     help="ray-cast the world on the accelerator (one jitted "
                          "dispatch for all cameras) instead of host NumPy")
+    ap.add_argument("--eight", action="store_true",
+                    help="figure-eight course: multiple same-direction "
+                         "revisits -> multiple sequential loop closures")
+    ap.add_argument("--n-async", type=int, default=2,
+                    help="async mono cameras (5 = AMV rig, 7 images/tick)")
+    ap.add_argument("--blackout", default=None,
+                    help="K0:N — render frames K0..K0+N-1 black "
+                         "(relocalization scenario)")
     args = ap.parse_args()
     n = args.frames
     if args.circle and n == 50:
         n = int(args.period * args.fps) + int(2 * args.fps)  # lap + revisit
+    if args.eight and n == 50:
+        # A, B, then re-enter A: three junction transits + two lap closures
+        n = int(2.2 * args.period * args.fps)
+    blackout = None
+    if args.blackout:
+        k0, nb = args.blackout.split(":")
+        blackout = (int(k0), int(nb))
     run(n_frames=n, fps=args.fps, plot=args.plot, circle=args.circle,
         circle_period=args.period, circle_radius=args.radius,
         n_features=args.features, threaded=args.threaded,
-        device_render=args.device_render)
+        device_render=args.device_render, eight=args.eight,
+        n_async=args.n_async, blackout=blackout)

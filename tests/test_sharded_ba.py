@@ -94,6 +94,35 @@ def test_sharded_global_ba_matches_single_chip(mesh):
     np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T), atol=1e-8)
 
 
+@pytest.mark.slow
+def test_sharded_serving_shape_full_schedule(mesh):
+    """VERDICT r3 item 5: sharded parity at the HEADLINE shape. The
+    correctness logic is shape-independent but padding/permutation bugs are
+    not — run the landmark-sharded path at 50 KF / 5k pts (the bench
+    headline configuration) through a FULL 10-iteration LM schedule on the
+    8-device mesh and require chi2 rtol <= 1e-10 + pose/landmark parity
+    against the single-device problem."""
+    data, state0, _ = make_local_ba_problem(
+        n_kf=50, n_fixed=1, n_lm=5000, n_cams=6, obs_per_lm=4,
+        gpobs_per_lm=2, noise_px=0.5, seed=0,
+    )
+    single = make_ba_problem(data, data.mg_valid, data.sg_valid, data.st_valid)
+    sb = shard_ba_data(data, state0, 8)
+    sharded = make_sharded_ba_problem(mesh, sb)
+
+    s1, st1 = jax.jit(lambda s: lm_optimize(single, s, 10, lambda_init=1.0))(state0)
+    s2, st2 = jax.jit(lambda s: lm_optimize(sharded, s, 10, lambda_init=1.0))(sb.state0)
+    assert int(st1.iterations) == int(st2.iterations)
+    np.testing.assert_allclose(float(st2.chi2), float(st1.chi2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s2.T), np.asarray(s1.T), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(s2.v), np.asarray(s1.v), atol=1e-8)
+    valid = sb.lm_perm >= 0
+    np.testing.assert_allclose(
+        np.asarray(s2.X)[valid], np.asarray(s1.X)[sb.lm_perm[valid]],
+        atol=1e-7,
+    )
+
+
 def test_sharded_essential_graph_matches_single_device(mesh_e):
     """Edge-sharded PCG essential graph (parallel/sharded_eg.py) reproduces
     the single-device matrix-free PCG path: chi2, linearized D/b, one damped
