@@ -849,6 +849,30 @@ def make_ba_problem(
     return LMProblem(chi2, linearize, max_abs_diag, solve, retract)
 
 
+def _sorted_segment(idx):
+    """Static pre-sort for a segment-id array. TPU scatters move only a few
+    elements per cycle; `segment_sum` over unsorted ids at (50k,12) measures
+    0.145 ms on v5e while the sorted form runs 0.036 ms and the permutation
+    gather it needs costs ~0.03 ms — net ~2.3x per scatter. The ids are
+    problem statics, so the permutation is computed once on the host.
+    Returns seg(vals, n) closing over (perm, sorted_ids); falls back to the
+    plain unsorted scatter if the ids are a tracer (problem built under
+    jit)."""
+    if isinstance(idx, jax.core.Tracer):
+        def seg(vals, n):
+            return jax.ops.segment_sum(vals, idx, n)
+
+        return seg
+    idx_h = np.asarray(idx)
+    perm = jnp.asarray(np.argsort(idx_h, kind="stable"))
+    sids = jnp.asarray(np.sort(idx_h))
+
+    def seg(vals, n):
+        return jax.ops.segment_sum(vals[perm], sids, n, indices_are_sorted=True)
+
+    return seg
+
+
 def make_ba_problem_pcg(
     data: LocalBAData,
     lvl_m,
@@ -895,6 +919,20 @@ def make_ba_problem_pcg(
         jnp.asarray(TH_HUBER_MONO, dtype),
     )
 
+    # statically pre-sorted segment reducers, one per scatter axis (the
+    # Schur/Hx products are scatter-rate-bound; see _sorted_segment)
+    seg_im = _sorted_segment(data.mg_pair[:, 0])
+    seg_jm = _sorted_segment(data.mg_pair[:, 1])
+    seg_cm = _sorted_segment(data.mg_cam)
+    seg_ig = _sorted_segment(data.sg_pair[:, 0])
+    seg_jg = _sorted_segment(data.sg_pair[:, 1])
+    seg_p = _sorted_segment(data.st_pose)
+    seg_ip = _sorted_segment(data.gp_pairs[:, 0])
+    seg_jp = _sorted_segment(data.gp_pairs[:, 1])
+    seg_lmm = _sorted_segment(data.mg_lm)
+    seg_lmg = _sorted_segment(data.sg_lm)
+    seg_lms = _sorted_segment(data.st_lm)
+
     # chi2 is identical to the dense path's
     _dense = make_ba_problem(data, lvl_m, lvl_sg, lvl_st, huber_on=huber_on,
                              ext_active=ext_active)
@@ -925,28 +963,28 @@ def make_ba_problem_pcg(
         J2m = J2m * pose_act[jm][:, None, None]
         Jem = Jem * ext_act1[cm][:, None, None]
         wr = w_m[:, None] * r_m
-        bp12 = bp12 - jax.ops.segment_sum(
-            jnp.einsum("erc,er->ec", J1m, wr), im, K
-        ) - jax.ops.segment_sum(jnp.einsum("erc,er->ec", J2m, wr), jm, K)
+        bp12 = bp12 - seg_im(
+            jnp.einsum("erc,er->ec", J1m, wr), K
+        ) - seg_jm(jnp.einsum("erc,er->ec", J2m, wr), K)
         if Cx:
-            bext = bext - jax.ops.segment_sum(
-                jnp.einsum("erc,er->ec", Jem, wr), cm, Cx
+            bext = bext - seg_cm(
+                jnp.einsum("erc,er->ec", Jem, wr), Cx
             )
-        D12 = D12 + jax.ops.segment_sum(
-            jnp.einsum("eri,e,erj->eij", J1m, w_m, J1m), im, K
-        ) + jax.ops.segment_sum(
-            jnp.einsum("eri,e,erj->eij", J2m, w_m, J2m), jm, K
+        D12 = D12 + seg_im(
+            jnp.einsum("eri,e,erj->eij", J1m, w_m, J1m), K
+        ) + seg_jm(
+            jnp.einsum("eri,e,erj->eij", J2m, w_m, J2m), K
         )
         if Cx:
-            Dext = Dext + jax.ops.segment_sum(
-                jnp.einsum("eri,e,erj->eij", Jem, w_m, Jem), cm, Cx
+            Dext = Dext + seg_cm(
+                jnp.einsum("eri,e,erj->eij", Jem, w_m, Jem), Cx
             )
         JlWm = Jlm * w_m[:, None, None]
-        Hll = Hll + jax.ops.segment_sum(
-            jnp.einsum("eri,erj->eij", JlWm, Jlm), data.mg_lm, L
+        Hll = Hll + seg_lmm(
+            jnp.einsum("eri,erj->eij", JlWm, Jlm), L
         )
-        bl = bl - jax.ops.segment_sum(
-            jnp.einsum("eri,er->ei", JlWm, r_m), data.mg_lm, L
+        bl = bl - seg_lmm(
+            jnp.einsum("eri,er->ei", JlWm, r_m), L
         )
 
         # ===== GP stereo edges =====
@@ -963,20 +1001,20 @@ def make_ba_problem_pcg(
         J1g = J1g * pose_act[ig][:, None, None]
         J2g = J2g * pose_act[jg][:, None, None]
         wr = w_g[:, None] * r_g
-        bp12 = bp12 - jax.ops.segment_sum(
-            jnp.einsum("erc,er->ec", J1g, wr), ig, K
-        ) - jax.ops.segment_sum(jnp.einsum("erc,er->ec", J2g, wr), jg, K)
-        D12 = D12 + jax.ops.segment_sum(
-            jnp.einsum("eri,e,erj->eij", J1g, w_g, J1g), ig, K
-        ) + jax.ops.segment_sum(
-            jnp.einsum("eri,e,erj->eij", J2g, w_g, J2g), jg, K
+        bp12 = bp12 - seg_ig(
+            jnp.einsum("erc,er->ec", J1g, wr), K
+        ) - seg_jg(jnp.einsum("erc,er->ec", J2g, wr), K)
+        D12 = D12 + seg_ig(
+            jnp.einsum("eri,e,erj->eij", J1g, w_g, J1g), K
+        ) + seg_jg(
+            jnp.einsum("eri,e,erj->eij", J2g, w_g, J2g), K
         )
         JlWg = Jlg * w_g[:, None, None]
-        Hll = Hll + jax.ops.segment_sum(
-            jnp.einsum("eri,erj->eij", JlWg, Jlg), data.sg_lm, L
+        Hll = Hll + seg_lmg(
+            jnp.einsum("eri,erj->eij", JlWg, Jlg), L
         )
-        bl = bl - jax.ops.segment_sum(
-            jnp.einsum("eri,er->ei", JlWg, r_g), data.sg_lm, L
+        bl = bl - seg_lmg(
+            jnp.einsum("eri,er->ei", JlWg, r_g), L
         )
 
         # ===== stereo-camera KF edges =====
@@ -991,16 +1029,16 @@ def make_ba_problem_pcg(
         p_ = data.st_pose
         J3 = J3 * pose_act[p_][:, None, None]
         wr = w_s[:, None] * r_s
-        bp12 = bp12 - jax.ops.segment_sum(jnp.einsum("erc,er->ec", J3, wr), p_, K)
-        D12 = D12 + jax.ops.segment_sum(
-            jnp.einsum("eri,e,erj->eij", J3, w_s, J3), p_, K
+        bp12 = bp12 - seg_p(jnp.einsum("erc,er->ec", J3, wr), K)
+        D12 = D12 + seg_p(
+            jnp.einsum("eri,e,erj->eij", J3, w_s, J3), K
         )
         JlWs = Jls * w_s[:, None, None]
-        Hll = Hll + jax.ops.segment_sum(
-            jnp.einsum("eri,erj->eij", JlWs, Jls), data.st_lm, L
+        Hll = Hll + seg_lms(
+            jnp.einsum("eri,erj->eij", JlWs, Jls), L
         )
-        bl = bl - jax.ops.segment_sum(
-            jnp.einsum("eri,er->ei", JlWs, r_s), data.st_lm, L
+        bl = bl - seg_lms(
+            jnp.einsum("eri,er->ei", JlWs, r_s), L
         )
 
         # ===== GP prior chain =====
@@ -1018,12 +1056,12 @@ def make_ba_problem_pcg(
         Om = data.gp_qi_inv * wg[:, None, None]  # (Ng,12,12)
         OJ1 = jnp.einsum("eab,ebc->eac", Om, J1p)
         OJ2 = jnp.einsum("eab,ebc->eac", Om, J2p)
-        bp12 = bp12 - jax.ops.segment_sum(
-            jnp.einsum("eab,ea->eb", OJ1, r_p), ip, K
-        ) - jax.ops.segment_sum(jnp.einsum("eab,ea->eb", OJ2, r_p), jp, K)
-        D12 = D12 + jax.ops.segment_sum(
-            jnp.einsum("eab,eac->ebc", OJ1, J1p), ip, K
-        ) + jax.ops.segment_sum(jnp.einsum("eab,eac->ebc", OJ2, J2p), jp, K)
+        bp12 = bp12 - seg_ip(
+            jnp.einsum("eab,ea->eb", OJ1, r_p), K
+        ) - seg_jp(jnp.einsum("eab,ea->eb", OJ2, r_p), K)
+        D12 = D12 + seg_ip(
+            jnp.einsum("eab,eac->ebc", OJ1, J1p), K
+        ) + seg_jp(jnp.einsum("eab,eac->ebc", OJ2, J2p), K)
 
         # ===== velocity edges (diagonal) =====
         wv = jnp.where(data.vel_valid, data.qcinv22, 0.0) * pose_act
@@ -1096,14 +1134,14 @@ def make_ba_problem_pcg(
         def scatter_back(v_m, v_g, v_s, K_, Cx_):
             """J^T v accumulation back onto vertices (v already weighted)."""
             g12 = (
-                jax.ops.segment_sum(jnp.einsum("erc,er->ec", J1m, v_m), im, K_)
-                + jax.ops.segment_sum(jnp.einsum("erc,er->ec", J2m, v_m), jm, K_)
-                + jax.ops.segment_sum(jnp.einsum("erc,er->ec", J1g, v_g), ig, K_)
-                + jax.ops.segment_sum(jnp.einsum("erc,er->ec", J2g, v_g), jg, K_)
-                + jax.ops.segment_sum(jnp.einsum("erc,er->ec", J3, v_s), p_, K_)
+                seg_im(jnp.einsum("erc,er->ec", J1m, v_m), K_)
+                + seg_jm(jnp.einsum("erc,er->ec", J2m, v_m), K_)
+                + seg_ig(jnp.einsum("erc,er->ec", J1g, v_g), K_)
+                + seg_jg(jnp.einsum("erc,er->ec", J2g, v_g), K_)
+                + seg_p(jnp.einsum("erc,er->ec", J3, v_s), K_)
             )
             ge = (
-                jax.ops.segment_sum(jnp.einsum("erc,er->ec", Jem, v_m), cm, Cx_)
+                seg_cm(jnp.einsum("erc,er->ec", Jem, v_m), Cx_)
                 if Cx_
                 else jnp.zeros((0, 6), dtype)
             )
@@ -1113,14 +1151,14 @@ def make_ba_problem_pcg(
             """W^T x: per-landmark 3-vector."""
             u_m, u_g, u_s = edge_u(xp, xe)
             y = (
-                jax.ops.segment_sum(
-                    jnp.einsum("eri,er->ei", Jlm, w_m[:, None] * u_m), lm_m, L
+                seg_lmm(
+                    jnp.einsum("eri,er->ei", Jlm, w_m[:, None] * u_m), L
                 )
-                + jax.ops.segment_sum(
-                    jnp.einsum("eri,er->ei", Jlg, w_g[:, None] * u_g), lm_g, L
+                + seg_lmg(
+                    jnp.einsum("eri,er->ei", Jlg, w_g[:, None] * u_g), L
                 )
-                + jax.ops.segment_sum(
-                    jnp.einsum("eri,er->ei", Jls, w_s[:, None] * u_s), lm_s, L
+                + seg_lms(
+                    jnp.einsum("eri,er->ei", Jls, w_s[:, None] * u_s), L
                 )
             )
             return y
@@ -1149,9 +1187,9 @@ def make_ba_problem_pcg(
                 "eab,eb->ea", J2p, xp[jp]
             )
             Ot = jnp.einsum("eab,eb->ea", Om, t)
-            g12 = g12 + jax.ops.segment_sum(
-                jnp.einsum("eab,ea->eb", J1p, Ot), ip, K
-            ) + jax.ops.segment_sum(jnp.einsum("eab,ea->eb", J2p, Ot), jp, K)
+            g12 = g12 + seg_ip(
+                jnp.einsum("eab,ea->eb", J1p, Ot), K
+            ) + seg_jp(jnp.einsum("eab,ea->eb", J2p, Ot), K)
             # velocity diagonal
             g12 = g12 + (wv * xp[:, 8])[:, None] * (jnp.arange(12) == 8).astype(dtype)[None, :]
             # extrinsic prior lives in Dext already only for precond; its
@@ -1160,14 +1198,14 @@ def make_ba_problem_pcg(
                 ge = ge + jnp.einsum("cij,cj->ci", _ext_prior_H, xe)
             # Schur correction (reuses the weighted edge products above)
             y = (
-                jax.ops.segment_sum(
-                    jnp.einsum("eri,er->ei", Jlm, wu_m), lm_m, L
+                seg_lmm(
+                    jnp.einsum("eri,er->ei", Jlm, wu_m), L
                 )
-                + jax.ops.segment_sum(
-                    jnp.einsum("eri,er->ei", Jlg, wu_g), lm_g, L
+                + seg_lmg(
+                    jnp.einsum("eri,er->ei", Jlg, wu_g), L
                 )
-                + jax.ops.segment_sum(
-                    jnp.einsum("eri,er->ei", Jls, wu_s), lm_s, L
+                + seg_lms(
+                    jnp.einsum("eri,er->ei", Jls, wu_s), L
                 )
             )
             z = jnp.einsum("lab,lb->la", Hll_inv, y)

@@ -30,6 +30,7 @@ from ..factors.reprojection import project_pinhole
 from ..ops import lie, sim3
 from ..ops.sim3 import Sim3
 from . import robust
+from .ba import _sorted_segment
 from .lm import LMProblem, lm_optimize
 
 # Env-gated PCG convergence tracing (iteration count + relative residual).
@@ -312,6 +313,9 @@ def make_essential_graph_problem_pcg(
         r = jnp.where(data.valid[:, None], r, 0.0)
         return jnp.sum(r * r)
 
+    seg_i = _sorted_segment(data.pairs[:, 0])
+    seg_j = _sorted_segment(data.pairs[:, 1])
+
     def linearize(state: Sim3Field):
         dtype = state.t.dtype
         r, J = _eg_residual_jacs(state, data)
@@ -324,11 +328,11 @@ def make_essential_graph_problem_pcg(
         Jj = J[:, :, 7:] * act[j_][:, None, None]
         N = state.s.shape[0]
         # block-Jacobi preconditioner blocks + gradient
-        Di = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", Ji, Ji), i_, N)
-        Dj = jax.ops.segment_sum(jnp.einsum("eri,erj->eij", Jj, Jj), j_, N)
+        Di = seg_i(jnp.einsum("eri,erj->eij", Ji, Ji), N)
+        Dj = seg_j(jnp.einsum("eri,erj->eij", Jj, Jj), N)
         D = Di + Dj
-        bi = jax.ops.segment_sum(-jnp.einsum("eri,er->ei", Ji, r), i_, N)
-        bj = jax.ops.segment_sum(-jnp.einsum("eri,er->ei", Jj, r), j_, N)
+        bi = seg_i(-jnp.einsum("eri,er->ei", Ji, r), N)
+        bj = seg_j(-jnp.einsum("eri,er->ei", Jj, r), N)
         b = bi + bj
         return Ji, Jj, i_, j_, D, b, act
 
@@ -350,9 +354,9 @@ def make_essential_graph_problem_pcg(
             u = jnp.einsum("erc,ec->er", Ji, x[i_]) + jnp.einsum(
                 "erc,ec->er", Jj, x[j_]
             )
-            out = jax.ops.segment_sum(
-                jnp.einsum("erc,er->ec", Ji, u), i_, N
-            ) + jax.ops.segment_sum(jnp.einsum("erc,er->ec", Jj, u), j_, N)
+            out = seg_i(
+                jnp.einsum("erc,er->ec", Ji, u), N
+            ) + seg_j(jnp.einsum("erc,er->ec", Jj, u), N)
             return out + (lam * act + (1.0 - act))[:, None] * x
 
         def dot(a, c):

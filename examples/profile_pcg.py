@@ -129,7 +129,59 @@ def profile_eg(tols=(1e-2, 1e-3, 1e-4)):
         print(f"tol={tol:g}: {dt*1e3:8.1f} ms/LM-iter chi2'={float(chi):.4g}")
 
 
+def profile_cost_split():
+    """Forced-iteration cap sweep (tol=0, caps 20/80): the slope is the
+    per-CG-iteration cost, the intercept the fixed part (linearize +
+    preconditioner + RHS). These are the README 'PCG at-scale solver
+    profile' numbers."""
+    print("=== cost split (tol=0 forced caps) ===")
+    data, state0, _ = make_essential_graph(n_kf=5000, n_loop=40, seed=0,
+                                           dtype=DTYPE)
+    for name, make, lam in (
+        ("EG", lambda cap: make_essential_graph_problem_pcg(
+            data, pcg_iters=cap, pcg_tol=0.0), 1e-8),
+    ):
+        ts = {}
+        for cap in (20, 80):
+            problem = make(cap)
+
+            @jax.jit
+            def one(state, lam):
+                lin = problem.linearize(state)
+                dx, _, _ = problem.solve(lin, lam)
+                return jax.tree_util.tree_leaves(dx)[0]
+
+            ts[cap], _ = time_fn(one, state0, jnp.asarray(lam, DTYPE), n=5)
+        slope = (ts[80] - ts[20]) / 60
+        print(f"{name}: per-CG-iter {slope*1e3:.3f} ms, "
+              f"fixed {(ts[20]-20*slope)*1e3:.1f} ms")
+    datab, stateb, _ = make_local_ba_problem(
+        n_kf=2000, n_fixed=1, n_lm=10000, n_cams=6, obs_per_lm=4,
+        gpobs_per_lm=0, noise_px=0.5, seed=0, dtype=DTYPE)
+    datab = datab._replace(gp_huber=jnp.asarray(True))
+    ts = {}
+    for cap in (20, 80):
+        problem = make_ba_problem_pcg(
+            datab, datab.mg_valid, datab.sg_valid, datab.st_valid,
+            pcg_iters=cap, pcg_tol=0.0)
+
+        @jax.jit
+        def one(state, lam):
+            lin = problem.linearize(state)
+            dx, _, _ = problem.solve(lin, lam)
+            return dx[0]
+
+        ts[cap], _ = time_fn(one, stateb, jnp.asarray(1e-3, DTYPE), n=5)
+    slope = (ts[80] - ts[20]) / 60
+    print(f"BA: per-CG-iter {slope*1e3:.3f} ms, "
+          f"fixed {(ts[20]-20*slope)*1e3:.1f} ms")
+
+
 if __name__ == "__main__":
     print(f"device={jax.devices()[0]}")
     profile_eg()
     profile_global_ba()
+    profile_cost_split()
+    # CG iteration counts cannot print on the tunnel (no debug callbacks);
+    # run JAX_PLATFORMS=cpu AMCSLAM_PCG_DEBUG=1 python examples/profile_pcg.py
+    # for counts (identical arithmetic, hardware-independent).
