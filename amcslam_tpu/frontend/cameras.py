@@ -260,3 +260,59 @@ def epipolar_constrain_kb8(
         params1, params2, kp1, kp2, R12, t12, sigma2_1, sigma2_2,
     )
     return z1 > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Fisheye -> rectified-pinhole keypoint lift (pipeline entry for KB8 rigs).
+#
+# The reference keeps KannalaBrandt8 live in its Settings camera-type enum
+# (Settings.h:46-50) and constructs KB8 frames without the radtan undistort
+# pass (Frame.cc:697-707: mDistCoef empty => keypoints used raw, the camera
+# model itself carries the distortion). This rebuild's solvers/matchers are
+# uniformly pinhole-normalized, so a KB8 camera enters the pipeline by
+# lifting each detected keypoint through the model's exact Newton inversion
+# (unproject_kb8) onto the ideal-pinhole image plane of the SAME (fx,fy,
+# cx,cy) — after which every downstream stage (frustum gates, reprojection
+# factors, triangulation) sees a distortion-free camera. One small batched
+# device dispatch per frame.
+# ---------------------------------------------------------------------------
+
+_rectify_kb8_jit = None
+
+
+def rectify_kb8_points(params: "jax.Array | object", pts: "object") -> "object":
+    """(N,2) raw fisheye pixels -> (N,2) rectified-pinhole pixels.
+
+    params = [fx fy cx cy k1 k2 k3 k4]; the rectified plane reuses the same
+    fx/fy/cx/cy, so callers keep rig.K[c] = params[:4]."""
+    import numpy as np
+
+    global _rectify_kb8_jit
+    if _rectify_kb8_jit is None:
+
+        @jax.jit
+        def _fn(params, uv):
+            rays = jax.vmap(lambda p: unproject_kb8(params, p))(uv)
+            m = rays[:, :2] / rays[:, 2:3]
+            return m * params[None, :2] + params[None, 2:4]
+
+        _rectify_kb8_jit = _fn
+    pts = np.asarray(pts)
+    out = _rectify_kb8_jit(jnp.asarray(params, jnp.float64 if
+                                       jax.config.jax_enable_x64 else jnp.float32),
+                           jnp.asarray(pts))
+    return np.asarray(out).astype(pts.dtype, copy=False)
+
+
+def kb8_ray_grid(params, width: int, height: int):
+    """Per-pixel unit-depth ray directions (H,W,3) for a KB8 camera —
+    the fisheye analogue of the pinhole (u-cx)/fx grid; used by renderers
+    and by dense-geometry consumers."""
+    import numpy as np
+
+    u, v = np.meshgrid(np.arange(width, dtype=np.float64),
+                       np.arange(height, dtype=np.float64))
+    uv = jnp.asarray(np.stack([u.ravel(), v.ravel()], -1))
+    p = jnp.asarray(np.asarray(params, np.float64))
+    rays = jax.vmap(lambda q: unproject_kb8(p, q))(uv)
+    return np.asarray(rays).reshape(height, width, 3)

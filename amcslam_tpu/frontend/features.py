@@ -154,6 +154,16 @@ def build_frame(
             undistort_points(kps[c], rig.K[c], rig.dist[c]) if len(kps[c]) else kps[c]
             for c in range(len(kps))
         ]
+    if rig.cam_model is not None:
+        # KB8 fisheye cameras: lift raw detections onto the rectified
+        # pinhole plane via the model's exact Newton inversion (the KB8
+        # analogue of Frame.cc:697-737's radtan undistort; see
+        # cameras.rectify_kb8_points)
+        from .cameras import CAMERA_KB8, rectify_kb8_points
+
+        for c in np.nonzero(np.asarray(rig.cam_model) == CAMERA_KB8)[0]:
+            if len(kps[c]):
+                kps[c] = rectify_kb8_points(rig.kb8_params[c], kps[c])
     ur = depth = None
     if right is not None:
         ur, depth = stereo_match_depth(

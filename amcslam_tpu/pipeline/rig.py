@@ -36,6 +36,13 @@ class Rig:
     # (extrin_thresh = 50, Optimizer.cc:1227)
     ext_prior_info: np.ndarray | None = None  # (Cx,3,3)
     ext_min_obs: int = 50
+    # per-camera model tags (Settings.h:46-50 camera-type enum): None means
+    # all-pinhole; entries equal to cameras.CAMERA_KB8 mark fisheye cameras
+    # whose keypoints are lifted to the rectified-pinhole plane at frame
+    # build (cameras.rectify_kb8_points). kb8_params rows are
+    # [fx fy cx cy k1 k2 k3 k4]; K[c] must equal kb8_params[c,:4].
+    cam_model: np.ndarray | None = None  # (C,) int
+    kb8_params: np.ndarray | None = None  # (C,8)
 
     def __post_init__(self):
         self.qc_inv_diag = 1.0 / self.qc_diag

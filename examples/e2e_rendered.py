@@ -57,13 +57,18 @@ def make_world(seed=0, half=4.0, ceiling=4.0, span=12.0):
     ]
 
 
-def render(Twc: np.ndarray, planes) -> np.ndarray:
-    """Ray-cast one pinhole view of the textured box (nearest-texel)."""
-    fx, fy, cx, cy = K4
-    u, v = np.meshgrid(np.arange(W), np.arange(H))
-    d_cam = np.stack(
-        [(u.ravel() - cx) / fx, (v.ravel() - cy) / fy, np.ones(W * H)], 0
-    )
+def render(Twc: np.ndarray, planes, ray_grid: np.ndarray | None = None) -> np.ndarray:
+    """Ray-cast one view of the textured box (nearest-texel). Default is
+    the pinhole K4 camera; pass `ray_grid` (H,W,3 unit-depth rays, e.g.
+    cameras.kb8_ray_grid) to render through another camera model."""
+    if ray_grid is not None:
+        d_cam = ray_grid.reshape(-1, 3).T
+    else:
+        fx, fy, cx, cy = K4
+        u, v = np.meshgrid(np.arange(W), np.arange(H))
+        d_cam = np.stack(
+            [(u.ravel() - cx) / fx, (v.ravel() - cy) / fy, np.ones(W * H)], 0
+        )
     Rwc, t = Twc[:3, :3], Twc[:3, 3]
     d = Rwc @ d_cam  # (3, N)
     best_t = np.full(W * H, np.inf)
@@ -87,7 +92,7 @@ def render(Twc: np.ndarray, planes) -> np.ndarray:
     return np.clip(val, 0, 255).astype(np.uint8).reshape(H, W)
 
 
-def make_device_renderer(planes):
+def make_device_renderer(planes, ray_grids: np.ndarray | None = None):
     """The ray-caster as one jitted XLA program: all cameras' views render
     in a single device dispatch (same plane-intersection + nearest-texel
     semantics as `render`). On a 1-core host driving a TPU this moves the
@@ -108,11 +113,17 @@ def make_device_renderer(planes):
     d_cam = np.stack(
         [(u - cx) / fx, (v - cy) / fy, np.ones((H, W))], axis=-1
     ).astype(np.float32)  # (H, W, 3)
-    d_cam = jnp.asarray(d_cam)
+    if ray_grids is None:
+        grids = None
+        d_cam = jnp.asarray(d_cam)
+    else:
+        # per-view ray grids (V,H,W,3): views with a camera model other
+        # than the default pinhole (e.g. KB8 fisheye) carry their own rays
+        grids = jnp.asarray(np.asarray(ray_grids, np.float32))
 
     @jax.jit
     def render_batch(Twc):  # (C,4,4) -> (C,H,W) uint8
-        def one(T):
+        def one(T, d_cam):
             Rwc, t = T[:3, :3], T[:3, 3]
             d = d_cam @ Rwc.T                      # (H,W,3) world rays
             denom = d @ nrm.T                      # (H,W,P)
@@ -134,7 +145,9 @@ def make_device_renderer(planes):
             val = jnp.where(valid, val, 0.0)
             return jnp.clip(val, 0, 255).astype(jnp.uint8)
 
-        return jax.vmap(one)(Twc)
+        if grids is None:
+            return jax.vmap(one, in_axes=(0, None))(Twc, d_cam)
+        return jax.vmap(one)(Twc, grids)
 
     def render_all(Twc_list):
         out = render_batch(jnp.asarray(np.stack(Twc_list), jnp.float32))
@@ -235,11 +248,14 @@ def gt_pose_eight(t: float, period: float = 16.0, radius: float = 5.0):
 def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         circle=False, circle_period=16.0, circle_radius=5.0,
         n_features=800, device_render=False, eight=False, n_async=2,
-        blackout=None, collect=None):
+        blackout=None, collect=None, fisheye=False):
     """`eight=True`: figure-eight course with multiple same-direction
     revisits (multi-loop closures). `n_async`: async mono count (5 = the
     AMV rig width, 7 images/tick). `blackout=(k0, n)`: frames k0..k0+n-1
     render black — tracking must ride OK -> RECENTLY_LOST -> relocalize.
+    `fisheye=True`: async camera 0 becomes a KannalaBrandt8 fisheye —
+    rendered through kb8_ray_grid, keypoints lifted by the exact Newton
+    inversion (Settings.h:46-50 keeps KB8 live upstream).
     `collect`: optional dict that receives per-frame states + the System."""
     if eight:
         half = max(12.0, 2.0 * circle_radius + 10.0)
@@ -260,9 +276,29 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
     else:
         planes = make_world(seed)
         pose_fn = gt_pose
-    renderer = make_device_renderer(planes) if device_render else None
     rig = make_rig(n_async)
     C = rig.n_cams
+    kb8_grid = None
+    if fisheye:
+        from amcslam_tpu.frontend.cameras import CAMERA_KB8, kb8_ray_grid
+
+        # async camera 0 becomes a KB8 fisheye: shorter focal (wider FOV)
+        # + a theta-polynomial with visible distortion at the image edges
+        kb8 = np.array([300.0, 300.0, 320.0, 240.0, 0.05, -0.01, 0.002, 0.0])
+        rig.K[0] = kb8[:4]
+        rig.cam_model = np.zeros(C, np.int32)
+        rig.cam_model[0] = CAMERA_KB8
+        rig.kb8_params = np.zeros((C, 8))
+        rig.kb8_params[0] = kb8
+        kb8_grid = kb8_ray_grid(kb8, W, H)
+    ray_grids = None
+    if kb8_grid is not None:
+        fx, fy, cx, cy = K4
+        u, v = np.meshgrid(np.arange(W), np.arange(H))
+        pin = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones((H, W))], -1)
+        ray_grids = np.stack([kb8_grid] + [pin] * C)  # views: C cams + right
+    renderer = (make_device_renderer(planes, ray_grids)
+                if device_render else None)
     extractors = make_extractors(C + 1, n_features)
     cfg = TrackingConfig(max_frames_between_kf=5, min_local_matches=15,
                          ransac_min_match=15)
@@ -292,7 +328,11 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
             if k + 1 < n_frames:  # overlap next render with this frame's work
                 pending = renderer.dispatch(frame_views(k + 1))
         else:
-            *imgs, img_r = [render(T, planes) for T in frame_views(k)]
+            *imgs, img_r = [
+                render(T, planes,
+                       ray_grid=ray_grids[i] if ray_grids is not None else None)
+                for i, T in enumerate(frame_views(k))
+            ]
         if blackout is not None and blackout[0] <= k < blackout[0] + blackout[1]:
             # sensor dropout: the tracker sees featureless black frames
             imgs = [np.zeros_like(im) for im in imgs]
@@ -386,6 +426,8 @@ if __name__ == "__main__":
                          "revisits -> multiple sequential loop closures")
     ap.add_argument("--n-async", type=int, default=2,
                     help="async mono cameras (5 = AMV rig, 7 images/tick)")
+    ap.add_argument("--fisheye", action="store_true",
+                    help="async camera 0 is a KannalaBrandt8 fisheye")
     ap.add_argument("--blackout", default=None,
                     help="K0:N — render frames K0..K0+N-1 black "
                          "(relocalization scenario)")
@@ -404,4 +446,4 @@ if __name__ == "__main__":
         circle_period=args.period, circle_radius=args.radius,
         n_features=args.features, threaded=args.threaded,
         device_render=args.device_render, eight=args.eight,
-        n_async=args.n_async, blackout=blackout)
+        n_async=args.n_async, blackout=blackout, fisheye=args.fisheye)

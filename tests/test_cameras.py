@@ -129,3 +129,32 @@ def test_triangulate_matches_kb8_recovers_depth():
         params, params, jnp.asarray(kp1), jnp.asarray(kp1),
         jnp.asarray(R12), jnp.zeros(3), s2, s2)
     assert bool(jnp.all(z0 <= 0))
+
+
+def test_rectify_kb8_points_matches_pinhole_of_ray():
+    """rectify_kb8_points(project_kb8(X)) must equal the ideal pinhole
+    projection of X with the same fx/fy/cx/cy (the pipeline lift for KB8
+    rigs, features.build_frame)."""
+    from amcslam_tpu.frontend.cameras import project_kb8, rectify_kb8_points
+
+    params = jnp.asarray([300.0, 300.0, 320.0, 240.0, 0.05, -0.01, 0.002, 0.0])
+    rng = np.random.RandomState(3)
+    X = np.stack([rng.uniform(-2, 2, 32), rng.uniform(-1.5, 1.5, 32),
+                  rng.uniform(2, 8, 32)], 1)
+    uv_fe = np.asarray(jax.vmap(lambda x: project_kb8(params, x))(jnp.asarray(X)))
+    uv_rect = rectify_kb8_points(params, uv_fe)
+    uv_pin = X[:, :2] / X[:, 2:3] * np.array([300.0, 300.0]) + np.array([320.0, 240.0])
+    np.testing.assert_allclose(uv_rect, uv_pin, atol=1e-5)
+
+
+def test_kb8_ray_grid_reprojects_to_pixel_centers():
+    from amcslam_tpu.frontend.cameras import kb8_ray_grid, project_kb8
+
+    params = jnp.asarray([300.0, 300.0, 320.0, 240.0, 0.05, -0.01, 0.002, 0.0])
+    grid = kb8_ray_grid(np.asarray(params), 64, 48)
+    assert grid.shape == (48, 64, 3)
+    sub = grid[::16, ::16].reshape(-1, 3)
+    uv = np.asarray(jax.vmap(lambda x: project_kb8(params, x))(jnp.asarray(sub)))
+    u, v = np.meshgrid(np.arange(64)[::16], np.arange(48)[::16])
+    exp = np.stack([u.ravel(), v.ravel()], 1).astype(float)
+    np.testing.assert_allclose(uv, exp, atol=1e-6)

@@ -109,3 +109,33 @@ def test_relocalization_after_blackout():
 
     ate_post, _ = ate_rmse(est_t[sel], est_T[sel], gt_t[gsel], gt_T[gsel])
     assert ate_post < 0.01 * dist, (ate_post, dist)
+
+
+@pytest.mark.slow
+def test_fisheye_camera_tracks():
+    """KB8 fisheye smoke (Settings.h:46-50 keeps KannalaBrandt8 live
+    upstream): async camera 0 renders through kb8_ray_grid and its
+    keypoints enter the pipeline via the exact Newton inversion
+    (cameras.rectify_kb8_points) — the dormant KB8 path in a pipeline
+    context."""
+    import e2e_rendered as e2e
+    from amcslam_tpu.frontend.cameras import CAMERA_KB8
+    from amcslam_tpu.pipeline.tracking import TrackState
+
+    collect = {}
+    ate, dist, _ = e2e.run(
+        n_frames=30, fps=5.0, seed=2, n_features=400, fisheye=True,
+        collect=collect,
+    )
+    states = collect["states"]
+    assert all(s == TrackState.OK for s in states[1:]), states
+    assert ate < 0.01 * dist, (ate, dist)
+    sysm = collect["system"]
+    assert sysm.rig.cam_model[0] == CAMERA_KB8
+    # the fisheye camera's rectified keypoints produced map observations
+    m = sysm.atlas.active
+    n_fe_obs = sum(
+        1 for mp in m.map_points.values()
+        for kf_id, slots in mp.observations.items() if slots[0] >= 0
+    )
+    assert n_fe_obs > 0, "no fisheye-camera observations reached the map"
