@@ -279,29 +279,108 @@ def epipolar_constrain_kb8(
 
 _rectify_kb8_jit = None
 
+# Incidence-angle validity limit for the lift. Beyond 90 deg the pinhole
+# plane cannot represent the ray at all (tan wraps to the wrong side and a
+# >90-deg detection would silently become a finite wrong-side measurement);
+# slightly below 90 the tan(theta) stretch and its noise amplification
+# explode. 85 deg keeps tan bounded (~11.4) while covering everything a
+# pinhole-normalized backend can meaningfully use. The reference never hits
+# this case because it keeps KB8 keypoints in native fisheye pixels
+# (Frame.cc constructs KB8 frames without undistortion and the optimizer
+# projects through the KB8 model).
+KB8_MAX_THETA_DEG = 85.0
 
-def rectify_kb8_points(params: "jax.Array | object", pts: "object") -> "object":
+
+def rectify_kb8_points(params: "jax.Array | object", pts: "object",
+                       return_aux: bool = False,
+                       max_theta_deg: float = KB8_MAX_THETA_DEG):
     """(N,2) raw fisheye pixels -> (N,2) rectified-pinhole pixels.
 
     params = [fx fy cx cy k1 k2 k3 k4]; the rectified plane reuses the same
-    fx/fy/cx/cy, so callers keep rig.K[c] = params[:4]."""
+    fx/fy/cx/cy, so callers keep rig.K[c] = params[:4].
+
+    With ``return_aux=True`` also returns
+
+      * ``valid`` (N,) bool — solved incidence angle < ``max_theta_deg``
+        (see KB8_MAX_THETA_DEG: beyond it the lift is unrepresentable or
+        numerically explosive) and the Newton solve finite,
+      * ``sigma2_scale`` (N,) — measurement-variance inflation of the lift,
+        the largest eigenvalue of J J^T for the 2x2 lift Jacobian
+        J = d(rectified px)/d(raw px). Raw-pixel detection noise sigma^2
+        becomes (at worst, along the major axis) sigma^2 * sigma2_scale on
+        the rectified plane; consumers divide their inv_sigma2 weights by
+        it so edge-of-FOV features are not over-trusted.
+
+    Inputs are padded to a power-of-two bucket before the jitted kernel so
+    varying per-frame keypoint counts reuse one executable per bucket."""
     import numpy as np
+
+    from ..utils.shapes import bucket_pow2
 
     global _rectify_kb8_jit
     if _rectify_kb8_jit is None:
 
         @jax.jit
-        def _fn(params, uv):
-            rays = jax.vmap(lambda p: unproject_kb8(params, p))(uv)
-            m = rays[:, :2] / rays[:, 2:3]
-            return m * params[None, :2] + params[None, 2:4]
+        def _fn(params, uv, max_theta):
+            # NOTE: this deliberately does NOT reuse unproject_kb8. The
+            # reference's unprojection clips theta_d to pi/2 before the
+            # Newton solve (KannalaBrandt8.cpp:116-143 does the same) —
+            # harmless upstream where keypoints stay in fisheye pixels, but
+            # for the rectifying lift the clip SATURATES every detection
+            # whose distorted angle exceeds pi/2 (theta >~ poly^-1(pi/2)):
+            # the pixel coordinate freezes at the saturation radius and the
+            # radial derivative collapses to zero, i.e. wrong measurement
+            # AND wrong (over-confident) noise model in the band just below
+            # 90 deg. Solving the unclipped equation keeps coordinate and
+            # Jacobian exact up to the validity limit; beyond-90 detections
+            # then solve to theta > pi/2 and are flagged invalid here.
+            def solve_theta(theta_d):
+                return lax.fori_loop(
+                    0, 10,
+                    lambda _, th: th - (_kb8_poly(params, th) - theta_d)
+                    / _kb8_poly_deriv(params, th),
+                    jnp.clip(theta_d, 0.0, jnp.pi / 2),  # clip the INIT only
+                )
+
+            def lift(p):
+                pw = (p - params[2:4]) / params[:2]
+                theta_d = jnp.sqrt(pw @ pw)
+                th = solve_theta(theta_d)
+                safe = theta_d > 1e-8
+                scale = jnp.where(
+                    safe, jnp.tan(th) / jnp.where(safe, theta_d, 1.0), 1.0)
+                return pw * scale * params[:2] + params[2:4]
+
+            out = jax.vmap(lift)(uv)
+            pw = (uv - params[None, 2:4]) / params[None, :2]
+            theta = jax.vmap(solve_theta)(jnp.sqrt(jnp.sum(pw * pw, axis=1)))
+            valid = (theta < max_theta) & jnp.all(jnp.isfinite(out), axis=1)
+            # exact 2x2 lift Jacobian via autodiff; worst-direction variance
+            # inflation = lambda_max(J J^T)
+            J = jax.vmap(jax.jacfwd(lift))(uv)
+            JJt = jnp.einsum("nij,nkj->nik", J, J)
+            tr = JJt[:, 0, 0] + JJt[:, 1, 1]
+            det = JJt[:, 0, 0] * JJt[:, 1, 1] - JJt[:, 0, 1] * JJt[:, 1, 0]
+            disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+            s2 = tr / 2 + disc
+            s2 = jnp.where(jnp.isfinite(s2), jnp.maximum(s2, 1e-6), jnp.inf)
+            return out, valid, s2
 
         _rectify_kb8_jit = _fn
     pts = np.asarray(pts)
-    out = _rectify_kb8_jit(jnp.asarray(params, jnp.float64 if
-                                       jax.config.jax_enable_x64 else jnp.float32),
-                           jnp.asarray(pts))
-    return np.asarray(out).astype(pts.dtype, copy=False)
+    n = len(pts)
+    nb = bucket_pow2(max(n, 1), minimum=64)
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    pad = np.full((nb, 2), 1.0)
+    pad[:n] = pts
+    out, valid, s2 = _rectify_kb8_jit(
+        jnp.asarray(params, dt), jnp.asarray(pad, dt),
+        jnp.asarray(np.deg2rad(max_theta_deg), dt),
+    )
+    out = np.asarray(out[:n]).astype(pts.dtype, copy=False)
+    if not return_aux:
+        return out
+    return out, np.asarray(valid[:n]), np.asarray(s2[:n], np.float64)
 
 
 def kb8_ray_grid(params, width: int, height: int):

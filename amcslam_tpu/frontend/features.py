@@ -149,21 +149,42 @@ def build_frame(
     octs = [r[1] for r in results]
     descs = [r[2] for r in results]
     angs = [r[3] for r in results]
+    kb8_cams = (
+        set(np.nonzero(np.asarray(rig.cam_model) == 1)[0].tolist())
+        if rig.cam_model is not None else set()
+    )
     if rig.dist is not None:
+        # radtan undistort — but NOT for KB8 cameras: their distortion lives
+        # in the camera model itself (reference KB8 frames carry an empty
+        # mDistCoef, Frame.cc:697-707), so applying both would double-correct
         kps = [
-            undistort_points(kps[c], rig.K[c], rig.dist[c]) if len(kps[c]) else kps[c]
+            undistort_points(kps[c], rig.K[c], rig.dist[c])
+            if len(kps[c]) and c not in kb8_cams else kps[c]
             for c in range(len(kps))
         ]
-    if rig.cam_model is not None:
+    kp_s2 = None
+    if kb8_cams:
         # KB8 fisheye cameras: lift raw detections onto the rectified
         # pinhole plane via the model's exact Newton inversion (the KB8
         # analogue of Frame.cc:697-737's radtan undistort; see
-        # cameras.rectify_kb8_points)
-        from .cameras import CAMERA_KB8, rectify_kb8_points
+        # cameras.rectify_kb8_points). Detections at >= ~85 deg incidence
+        # are unrepresentable on the pinhole plane and dropped here, before
+        # they can become Frame keypoints; survivors carry the lift's
+        # measurement-variance inflation so solvers de-weight edge-of-FOV
+        # features instead of trusting them at raw-pixel sigma.
+        from .cameras import rectify_kb8_points
 
-        for c in np.nonzero(np.asarray(rig.cam_model) == CAMERA_KB8)[0]:
-            if len(kps[c]):
-                kps[c] = rectify_kb8_points(rig.kb8_params[c], kps[c])
+        kp_s2 = [None] * len(kps)
+        for c in sorted(kb8_cams):
+            if not len(kps[c]):
+                continue
+            pts, valid, s2 = rectify_kb8_points(
+                rig.kb8_params[c], kps[c], return_aux=True)
+            kps[c] = pts[valid]
+            octs[c] = octs[c][valid]
+            descs[c] = descs[c][valid]
+            angs[c] = angs[c][valid]
+            kp_s2[c] = s2[valid]
     ur = depth = None
     if right is not None:
         ur, depth = stereo_match_depth(
@@ -180,4 +201,5 @@ def build_frame(
         kp_ur=ur,
         kp_depth=depth,
         kp_angles=angs,
+        kp_sigma2_scale=kp_s2,
     )

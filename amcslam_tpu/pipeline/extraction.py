@@ -245,7 +245,7 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
             mp = lms[l]
             cam, local = k.cam_of_global(gidx)
             uv = k.keypoints[cam][local]
-            w = rig.inv_sigma2(k.kp_octaves[cam][local])
+            w = k.kp_inv_sigma2(rig, cam, local)
             if cam == rig.n_cams - 1:
                 ur = k.kp_ur[local] if k.kp_ur is not None else -1.0
                 st.append((s, l, uv[0], uv[1], ur, w, ur >= 0))
@@ -270,7 +270,7 @@ def _assemble_ba(kfs, n_opt, lms, lm_slot, chain, rig, dtype, gp_huber):
             if k.next_kf is None or k.next_kf.id not in kf_slot:
                 continue
             i, j = kf_slot[kf_id], kf_slot[k.next_kf.id]
-            w = rig.inv_sigma2(obs.octave)
+            w = rig.inv_sigma2(obs.octave) / getattr(obs, "sigma2_scale", 1.0)
             if obs.cam == rig.n_cams - 1 and obs.ur >= 0:
                 sg.append((i, j, l, obs.time, obs.uv[0], obs.uv[1], obs.ur, w))
                 sg_meta.append(("gp", kf_id, obs, mp))
@@ -498,7 +498,7 @@ def extract_pose_problem(
             continue
         cam, local = frame.cam_of_global(gidx)
         uv = frame.keypoints[cam][local]
-        w = rig.inv_sigma2(frame.kp_octaves[cam][local])
+        w = frame.kp_inv_sigma2(rig, cam, local)
         Tcw = np.linalg.inv(frame.Twb @ rig.Tbc[cam])
         close = (Tcw[:3, :3] @ mp.position + Tcw[:3, 3])[2] < CLOSE_DEPTH_TH
         if cam != rig.n_cams - 1:

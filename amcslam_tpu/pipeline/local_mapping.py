@@ -162,6 +162,27 @@ class LocalMapping:
     def _camera_Twc(self, kf: KeyFrame, cam: int) -> np.ndarray:
         return camera_Twc(kf, cam, self.rig)
 
+    @staticmethod
+    def _kp_s2(kf, c: int, local: int) -> float:
+        """KB8 lift variance inflation for one keypoint (1.0 for pinhole) —
+        chi2 gates must widen by it or edge-of-FOV fisheye features are
+        systematically rejected (they carry magnified pixel noise)."""
+        sc = getattr(kf, "kp_sigma2_scale", None)
+        if sc is None or sc[c] is None:
+            return 1.0
+        return float(sc[c][local])
+
+    @staticmethod
+    def _global_s2(kf, C: int) -> "np.ndarray":
+        sc = getattr(kf, "kp_sigma2_scale", None)
+        if sc is None:
+            return np.ones(int(kf.kp_offsets[-1]))
+        return np.concatenate([
+            np.ones(len(kf.keypoints[c])) if sc[c] is None
+            else np.asarray(sc[c], float)
+            for c in range(C)
+        ]) if int(kf.kp_offsets[-1]) else np.ones(0)
+
     def _global_arrays(self, kf: KeyFrame):
         """Concatenate per-camera keypoint data into the global index order
         (the reference's flat `mvKeysUn`/`mmpKeyToCam` layout)."""
@@ -222,6 +243,7 @@ class LocalMapping:
             kp2, d2, oct2, cam2, ang2 = self._global_arrays(nb)
             if len(kp2) == 0:
                 continue
+            s2_2 = self._global_s2(nb, C)
             Twc2 = [self._camera_Twc(nb, c) for c in range(C)]
             Tcw2 = [np.linalg.inv(T) for T in Twc2]
             # per-(c1,c2) fundamental matrices from the relative camera poses
@@ -268,7 +290,7 @@ class LocalMapping:
             den = l2[:, 0] ** 2 + l2[:, 1] ** 2
             ep_ok = (den >= 1e-12) & (
                 num * num <= 3.84 * self.rig.level_sigma2[oct2[g2s]]
-                * np.maximum(den, 1e-12)
+                * s2_2[g2s] * np.maximum(den, 1e-12)
             )
             # parallax gate: nearly parallel rays triangulate badly
             # (cosParallaxRays < 0.9998, LocalMapping.cc:480)
@@ -343,6 +365,14 @@ class LocalMapping:
             np.asarray(m[2].keypoints[m[3]])[m[4] - m[2].kp_offsets[m[3]]]
             for m in tri_meta
         ])
+        s2g1 = np.array([
+            self._kp_s2(kf, c, g - kf.kp_offsets[c])
+            for c, g in zip(meta_c1, meta_g1)
+        ])
+        s2g2 = np.array([
+            self._kp_s2(m[2], m[3], m[4] - m[2].kp_offsets[m[3]])
+            for m in tri_meta
+        ])
         T1r = T1_a[:n_tri]
         T2r = T2_a[:n_tri]
         Xc1 = np.einsum("nij,nj->ni", T1r[:, :3, :3], X) + T1r[:, :3, 3]
@@ -365,7 +395,7 @@ class LocalMapping:
         accept = (
             np.isfinite(X).all(axis=1)
             & (Xc1[:, 2] > 0) & (Xc2[:, 2] > 0) & (np.abs(w) >= 1e-9)
-            & (e1 <= 5.991 * sig2[o1]) & (e2 <= 5.991 * sig2[o2])
+            & (e1 <= 5.991 * sig2[o1] * s2g1) & (e2 <= 5.991 * sig2[o2] * s2g2)
             & (dist1 > 0) & (dist2 > 0)
             & (ratio_dist * ratio_factor > ratio_oct)
             & (ratio_dist < ratio_oct * ratio_factor)

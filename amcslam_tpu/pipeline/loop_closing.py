@@ -138,7 +138,7 @@ class LoopClosing:
             mps.append(mp)
             cams.append(cam)
             uvs.append(np.asarray(kf.keypoints[cam][local], float))
-            ws.append(float(self.rig.inv_sigma2(kf.kp_octaves[cam][local])))
+            ws.append(float(kf.kp_inv_sigma2(self.rig, cam, local)))
             descs.append(mp.descriptor)
             angs.append(
                 float(kf.kp_angles[cam][local])

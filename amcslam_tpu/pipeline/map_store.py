@@ -44,6 +44,7 @@ class GPObs:
     uv: np.ndarray       # (2,) undistorted pixel
     ur: float            # right-image u (stereo) or -1
     octave: int = 0
+    sigma2_scale: float = 1.0  # KB8 lift variance inflation (1 for pinhole)
 
 
 @dataclass
@@ -174,11 +175,25 @@ class KeyFrame:
     loop_edges: list = field(default_factory=list)
     bad: bool = False
     bow: Optional[dict] = None
+    # per camera: (Nc,) measurement-variance inflation of the KB8 lift
+    # (cameras.rectify_kb8_points aux), or None for pinhole cameras
+    kp_sigma2_scale: Optional[list] = None
 
     def __post_init__(self):
         self.kp_offsets = np.cumsum([0] + [len(k) for k in self.keypoints])
         if self.matches is None:
             self.matches = -np.ones(self.kp_offsets[-1], dtype=np.int64)
+
+    def kp_inv_sigma2(self, rig, cam: int, local: int) -> float:
+        """Per-keypoint information weight: the octave inv_sigma2, divided by
+        the KB8 lift's variance inflation when this keypoint was rectified
+        from a fisheye detection (edge-of-FOV features carry magnified pixel
+        noise and must not be trusted at raw-pixel sigma)."""
+        w = rig.inv_sigma2(self.kp_octaves[cam][local])
+        s = getattr(self, "kp_sigma2_scale", None)
+        if s is not None and s[cam] is not None:
+            w = w / float(s[cam][local])
+        return w
 
     @property
     def n_cameras(self) -> int:
@@ -274,6 +289,7 @@ class Frame:
     matches: Optional[np.ndarray] = None
     outlier: Optional[np.ndarray] = None
     ref_kf: Optional[KeyFrame] = None
+    kp_sigma2_scale: Optional[list] = None  # see KeyFrame.kp_sigma2_scale
 
     def __post_init__(self):
         self.kp_offsets = np.cumsum([0] + [len(k) for k in self.keypoints])
@@ -287,6 +303,7 @@ class Frame:
     n_keypoints = KeyFrame.n_keypoints
     cam_of_global = KeyFrame.cam_of_global
     global_index = KeyFrame.global_index
+    kp_inv_sigma2 = KeyFrame.kp_inv_sigma2
 
 
 class Map:

@@ -549,7 +549,7 @@ class Tracking:
                 continue
             cam, local = frame.cam_of_global(g)
             uv = frame.keypoints[cam][local]
-            w = self.rig.inv_sigma2(frame.kp_octaves[cam][local])
+            w = frame.kp_inv_sigma2(self.rig, cam, local)
             dtc = frame.cam_times[cam] - self.last_frame.timestamp
             rows.append((*mp.position, dtc, cam, uv[0], uv[1], w))
             idxs.append(g)
@@ -711,6 +711,7 @@ class Tracking:
             kp_ur=frame.kp_ur,
             kp_angles=frame.kp_angles,
             kp_depth=frame.kp_depth,
+            kp_sigma2_scale=frame.kp_sigma2_scale,
         )
         kf.matches = frame.matches.copy()
         kf.matches[frame.outlier] = -1
@@ -788,6 +789,7 @@ class Tracking:
             kp_ur=frame.kp_ur,
             kp_angles=frame.kp_angles,
             kp_depth=frame.kp_depth,
+            kp_sigma2_scale=frame.kp_sigma2_scale,
         )
         m.add_keyframe(kf)
         self._seed_stereo_landmarks(kf, m, max_seed=10**9)
@@ -918,6 +920,11 @@ class Tracking:
                     uv=np.asarray(uv, float),
                     ur=ur,
                     octave=int(frame.kp_octaves[cam][local]),
+                    sigma2_scale=(
+                        float(frame.kp_sigma2_scale[cam][local])
+                        if frame.kp_sigma2_scale is not None
+                        and frame.kp_sigma2_scale[cam] is not None else 1.0
+                    ),
                 ),
             )
 

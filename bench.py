@@ -26,6 +26,7 @@ Prints ONE JSON line: the headline {"metric", "value", "unit",
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -59,6 +60,45 @@ BASELINE_MS = 10.0
 DTYPE = jnp.float32
 # BENCH_SMOKE=1 shrinks every problem for a fast functional check (CPU ok)
 SMOKE = os.environ.get("BENCH_SMOKE", "") == "1"
+
+# The driver runs bench.py under an external `timeout` (round 4 hit it:
+# rc=124, no JSON emitted). Two defenses:
+#   * an internal deadline — before each non-headline config we check the
+#     remaining budget against that config's estimated cold cost and skip
+#     (recording which were skipped) rather than get killed mid-compile;
+#   * a SIGTERM handler that prints the best-so-far JSON line and exits,
+#     so even an external kill yields a parsed result once the headline
+#     config has landed.
+# With the persistent compile cache warm (same repo, unchanged solver HLO)
+# the whole bench runs in ~1 min and nothing is ever skipped.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "450"))
+T_START = time.time()
+RESULT: dict = {}
+
+
+def _emit():
+    print(json.dumps(RESULT), flush=True)
+
+
+def _on_sigterm(sig, frame):
+    if RESULT.get("value") is not None:
+        RESULT["terminated_early"] = True
+        _emit()
+    sys.exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_sigterm)
+
+
+def _budget(name, est_s):
+    """True if `est_s` (cold-compile cost estimate) fits the remaining
+    deadline budget; otherwise record the skip and return False."""
+    left = DEADLINE_S - (time.time() - T_START)
+    if left < est_s:
+        _log(f"SKIP {name}: {left:.0f}s budget left < {est_s:.0f}s estimate")
+        RESULT.setdefault("skipped_configs", []).append(name)
+        return False
+    return True
 
 
 def _log(msg):
@@ -285,89 +325,107 @@ def main():
     _log(f"device={jax.devices()[0]}")
 
     results = {}
+    RESULT.update(
+        {
+            "metric": "local_gpba_ms_per_lm_iter_50kf_5kpts",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+            "n_repeat": N_REPEAT,
+            "configs": results,
+            "parity": {"chi2_rel_f32_vs_f64": None},
+        }
+    )
 
     _log("config 3: sparse-GP continuous-time local BA (headline)")
     headline_ms, headline_band, data3, s3 = bench_local_ba(
         gpobs_per_lm=2, tag="gp_local_ba")
     results["gp_local_ba_ms_per_iter"] = round(headline_ms, 4)
     results["gp_local_ba_ms_band"] = headline_band
+    RESULT["value"] = round(headline_ms, 4)
+    RESULT["vs_baseline"] = round(BASELINE_MS / headline_ms, 3)
+    RESULT["band"] = headline_band
     _log(f"  {headline_ms:.3f} ms/iter (band {headline_band})")
 
-    # parity: same state, f32-on-device vs f64-on-CPU chi2
-    problem3 = make_ba_problem(data3, data3.mg_valid, data3.sg_valid, data3.st_valid)
-    chi_f32 = float(jax.jit(problem3.chi2)(s3))
-    chi_f64 = parity_f64(s3)
-    parity = (
-        {"chi2_f32": chi_f32, "chi2_f64": chi_f64,
-         "chi2_rel_f32_vs_f64": round(abs(chi_f32 - chi_f64) / abs(chi_f64), 9)}
-        if chi_f64 else {"chi2_rel_f32_vs_f64": None}
-    )
-    _log(f"parity: {parity}")
+    if _budget("pose_only", 60):
+        _log("config 1: pose-only per-frame solve (4x10)")
+        ms1, band1 = bench_pose_only()
+        results["pose_only_ms_per_solve"] = round(ms1, 4)
+        results["pose_only_ms_band"] = band1
+        _log(f"  {ms1:.3f} ms/solve (band {band1})")
 
-    _log("config 1: pose-only per-frame solve (4x10)")
-    ms1, band1 = bench_pose_only()
-    results["pose_only_ms_per_solve"] = round(ms1, 4)
-    results["pose_only_ms_band"] = band1
-    _log(f"  {ms1:.3f} ms/solve (band {band1})")
+    if _budget("schur_ba", 30):
+        _log("config 2: local Schur BA (no GP edges)")
+        ms2, band2, _, _ = bench_local_ba(gpobs_per_lm=0, tag="schur_ba")
+        results["schur_ba_ms_per_iter"] = round(ms2, 4)
+        results["schur_ba_ms_band"] = band2
+        _log(f"  {ms2:.3f} ms/iter (band {band2})")
 
-    _log("config 2: local Schur BA (no GP edges)")
-    ms2, band2, _, _ = bench_local_ba(gpobs_per_lm=0, tag="schur_ba")
-    results["schur_ba_ms_per_iter"] = round(ms2, 4)
-    results["schur_ba_ms_band"] = band2
-    _log(f"  {ms2:.3f} ms/iter (band {band2})")
+    if _budget("vi_ba", 35):
+        _log("config 4: visual-inertial BA (IMU preintegration)")
+        ms4, band4 = bench_vi_ba()
+        results["vi_ba_ms_per_iter"] = round(ms4, 4)
+        results["vi_ba_ms_band"] = band4
+        _log(f"  {ms4:.3f} ms/iter (band {band4})")
 
-    _log("config 4: visual-inertial BA (IMU preintegration)")
-    ms4, band4 = bench_vi_ba()
-    results["vi_ba_ms_per_iter"] = round(ms4, 4)
-    results["vi_ba_ms_band"] = band4
-    _log(f"  {ms4:.3f} ms/iter (band {band4})")
+    if _budget("sim3_graph", 55):
+        _log("config 5a: Sim3 essential graph, 500 KF")
+        ms5, band5 = bench_essential_graph()
+        results["sim3_graph_ms_per_iter"] = round(ms5, 4)
+        results["sim3_graph_ms_band"] = band5
+        _log(f"  {ms5:.3f} ms/iter (band {band5})")
 
-    _log("config 5a: Sim3 essential graph, 500 KF")
-    ms5, band5 = bench_essential_graph()
-    results["sim3_graph_ms_per_iter"] = round(ms5, 4)
-    results["sim3_graph_ms_band"] = band5
-    _log(f"  {ms5:.3f} ms/iter (band {band5})")
+    if _budget("sim3_graph_5k", 25):
+        _log("config 5c: Sim3 essential graph at 5000 KF (PCG)")
+        ms5c, band5c = bench_essential_graph_5k()
+        results["sim3_graph_5k_ms_per_iter"] = round(ms5c, 4)
+        results["sim3_graph_5k_ms_band"] = band5c
+        _log(f"  {ms5c:.3f} ms/iter (band {band5c})")
 
-    _log("config 5c: Sim3 essential graph at 5000 KF (PCG)")
-    ms5c, band5c = bench_essential_graph_5k()
-    results["sim3_graph_5k_ms_per_iter"] = round(ms5c, 4)
-    results["sim3_graph_5k_ms_band"] = band5c
-    _log(f"  {ms5c:.3f} ms/iter (band {band5c})")
+    if _budget("sim3_graph_10km", 60):
+        _log("config 5e: 10 km / 4-lap pose graph, aligned ATE after PCG closure")
+        results["sim3_graph_10km_ate_pct"] = round(bench_10km_ate(), 4)
+        _log(f"  {results['sim3_graph_10km_ate_pct']:.4f}% of path "
+             "(contract: <=0.5%)")
 
-    _log("config 5e: 10 km / 4-lap pose graph, aligned ATE after PCG closure")
-    results["sim3_graph_10km_ate_pct"] = round(bench_10km_ate(), 4)
-    _log(f"  {results['sim3_graph_10km_ate_pct']:.4f}% of path (contract: <=0.5%)")
+    if _budget("global_ba_pcg_2k", 30):
+        _log("config 5d: global BA at 2000 KF / 10k pts (Schur PCG)")
+        ms5d, band5d = bench_global_ba_pcg()
+        results["global_ba_pcg_2k_ms_per_iter"] = round(ms5d, 4)
+        results["global_ba_pcg_2k_ms_band"] = band5d
+        _log(f"  {ms5d:.3f} ms/iter (band {band5d})")
 
-    _log("config 5d: global BA at 2000 KF / 10k pts (Schur PCG)")
-    ms5d, band5d = bench_global_ba_pcg()
-    results["global_ba_pcg_2k_ms_per_iter"] = round(ms5d, 4)
-    results["global_ba_pcg_2k_ms_band"] = band5d
-    _log(f"  {ms5d:.3f} ms/iter (band {band5d})")
-
-    _log("config 5b: global BA (Huber GP chain) per iter")
-    data_g = data3._replace(gp_huber=jnp.asarray(True))
-    problem_g = make_ba_problem(
-        data_g, data_g.mg_valid, data_g.sg_valid, data_g.st_valid, huber_on=True
-    )
-    ms_g, band_g, _ = time_lm_iteration(problem_g, s3)
-    results["global_ba_ms_per_iter"] = round(ms_g, 4)
-    results["global_ba_ms_band"] = band_g
-    _log(f"  {ms_g:.3f} ms/iter (band {band_g})")
-
-    print(
-        json.dumps(
-            {
-                "metric": "local_gpba_ms_per_lm_iter_50kf_5kpts",
-                "value": round(headline_ms, 4),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / headline_ms, 3),
-                "band": headline_band,
-                "n_repeat": N_REPEAT,
-                "configs": results,
-                "parity": parity,
-            }
+    if _budget("global_ba", 35):
+        _log("config 5b: global BA (Huber GP chain) per iter")
+        data_g = data3._replace(gp_huber=jnp.asarray(True))
+        problem_g = make_ba_problem(
+            data_g, data_g.mg_valid, data_g.sg_valid, data_g.st_valid,
+            huber_on=True,
         )
-    )
+        ms_g, band_g, _ = time_lm_iteration(problem_g, s3)
+        results["global_ba_ms_per_iter"] = round(ms_g, 4)
+        results["global_ba_ms_band"] = band_g
+        _log(f"  {ms_g:.3f} ms/iter (band {band_g})")
+
+    # parity: same state, f32-on-device vs f64-on-CPU chi2 (subprocess with
+    # jax cpu+x64; runs last so a tight budget skips it rather than a config)
+    if _budget("parity_f64", 90):
+        problem3 = make_ba_problem(
+            data3, data3.mg_valid, data3.sg_valid, data3.st_valid)
+        chi_f32 = float(jax.jit(problem3.chi2)(s3))
+        chi_f64 = parity_f64(s3)
+        if chi_f64:
+            RESULT["parity"] = {
+                "chi2_f32": chi_f32,
+                "chi2_f64": chi_f64,
+                "chi2_rel_f32_vs_f64": round(
+                    abs(chi_f32 - chi_f64) / abs(chi_f64), 9),
+            }
+        _log(f"parity: {RESULT['parity']}")
+
+    _log(f"total wall {time.time() - T_START:.0f}s "
+         f"(deadline {DEADLINE_S:.0f}s)")
+    _emit()
 
 
 if __name__ == "__main__":
