@@ -248,7 +248,7 @@ def gt_pose_eight(t: float, period: float = 16.0, radius: float = 5.0):
 def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
         circle=False, circle_period=16.0, circle_radius=5.0,
         n_features=800, device_render=False, eight=False, n_async=2,
-        blackout=None, collect=None, fisheye=False):
+        blackout=None, collect=None, fisheye=False, pace=False):
     """`eight=True`: figure-eight course with multiple same-direction
     revisits (multi-loop closures). `n_async`: async mono count (5 = the
     AMV rig width, 7 images/tick). `blackout=(k0, n)`: frames k0..k0+n-1
@@ -256,6 +256,13 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
     `fisheye=True`: async camera 0 becomes a KannalaBrandt8 fisheye —
     rendered through kb8_ray_grid, keypoints lifted by the exact Newton
     inversion (Settings.h:46-50 keeps KB8 live upstream).
+    `pace=True`: replay at the sensor rate (frame k is not submitted
+    before wall time k/fps, the reference's real-time replay protocol,
+    multicam_amv.cc:117-126) — the meaningful protocol for `threaded`
+    runs, where the background mapper/loop-closer only gets the wall time
+    tracking leaves unused; without pacing an offline replay starves it
+    by construction. Render/extract time beyond the frame budget counts
+    against pacing like a slow sensor would.
     `collect`: optional dict that receives per-frame states + the System."""
     if eight:
         half = max(12.0, 2.0 * circle_radius + 10.0)
@@ -319,9 +326,14 @@ def run(n_frames=50, fps=10.0, seed=0, plot=None, threaded=False,
     states = []
     t_render = t_extract = t_track = 0.0
     pending = renderer.dispatch(frame_views(0)) if renderer is not None else None
+    t_wall0 = time.time()
     for k in range(n_frames):
         ts = k / fps
         cam_times = rig.cam_times(ts)
+        if pace:
+            lag = t_wall0 + k / fps - time.time()
+            if lag > 0:
+                time.sleep(lag)
         t0 = time.time()
         if renderer is not None:
             *imgs, img_r = renderer.fetch(pending)
@@ -428,6 +440,10 @@ if __name__ == "__main__":
                     help="async mono cameras (5 = AMV rig, 7 images/tick)")
     ap.add_argument("--fisheye", action="store_true",
                     help="async camera 0 is a KannalaBrandt8 fisheye")
+    ap.add_argument("--pace", action="store_true",
+                    help="replay at the sensor rate (real-time pacing, as "
+                         "multicam_amv does) — required for meaningful "
+                         "--threaded runs")
     ap.add_argument("--blackout", default=None,
                     help="K0:N — render frames K0..K0+N-1 black "
                          "(relocalization scenario)")
@@ -446,4 +462,5 @@ if __name__ == "__main__":
         circle_period=args.period, circle_radius=args.radius,
         n_features=args.features, threaded=args.threaded,
         device_render=args.device_render, eight=args.eight,
-        n_async=args.n_async, blackout=blackout, fisheye=args.fisheye)
+        n_async=args.n_async, blackout=blackout, fisheye=args.fisheye,
+        pace=args.pace)

@@ -139,3 +139,45 @@ def test_fisheye_camera_tracks():
         for kf_id, slots in mp.observations.items() if slots[0] >= 0
     )
     assert n_fe_obs > 0, "no fisheye-camera observations reached the map"
+
+
+@pytest.mark.slow
+def test_threaded_mapping_off_tracking_critical_path():
+    """System(threaded=True) with the round-4 interruption semantics: the
+    background mapper/loop-closer (mbAbortBA force-stop, detached GBA) must
+    keep per-frame tracking latency well below the sequential mode's, where
+    local BA runs inline on the tracking thread (the reference's raison
+    d'etre for its thread layout, System.cc threads + LocalMapping.cc:215).
+    Both modes must stay OK throughout and produce a sane trajectory.
+
+    (A real-time *paced* threaded replay is not demonstrable on this CI
+    host: it has ONE core, so tracker and mapper time-share the interpreter
+    and pacing can never be met — see README "threaded mode on a 1-core
+    host". Latency relative to sequential is the meaningful invariant.)"""
+    import e2e_rendered as e2e
+    from amcslam_tpu.pipeline.tracking import TrackState
+
+    results = {}
+    for threaded in (False, True):
+        collect = {}
+        ate, dist, _ = e2e.run(
+            n_frames=40, fps=5.0, seed=3, n_features=400,
+            threaded=threaded, collect=collect,
+        )
+        states = collect["states"]
+        if threaded:
+            # on the 1-core CI host the mapper time-shares the interpreter
+            # with tracking; transient RECENTLY_LOST dips are expected —
+            # the invariant is recovery and a sane trajectory
+            ok = sum(s == TrackState.OK for s in states[1:])
+            assert ok >= 0.75 * (len(states) - 1), (ok, states)
+            assert states[-1] == TrackState.OK, states
+        else:
+            assert all(s == TrackState.OK for s in states[1:]), states
+        assert ate < 0.02 * dist, (threaded, ate, dist)
+        # drop the first 10 frames (jit traces) from the latency statistic
+        lat = collect["timing"]["track_ms"][10:]
+        results[threaded] = float(np.median(lat))
+    # mapping+BA off the critical path: threaded median is far below the
+    # sequential median that pays local BA inline
+    assert results[True] < 0.5 * results[False], results
