@@ -1104,7 +1104,12 @@ def make_ba_problem_pcg(
             m1 = jnp.maximum(m1, m3)
         return jnp.maximum(m1, m2)
 
-    def solve(lin, lam):
+    def solve(lin, lam, x0=None):
+        """`x0=(x12, xe)` optionally warm-starts the CG iteration (initial
+        residual b - S x0 instead of b). The generic LM driver always calls
+        solve(lin, lam) — cold start, reference-equivalent; warm starting
+        across chained LM iterations is a deployment option measured in
+        examples/profile_pcg.py."""
         edges, Hll, bl, bp12, bext, D12, Dext, wv, _ext_prior_H = lin
         (J1m, J2m, Jem, Jlm, w_m, im, jm, cm, lm_m) = edges[0]
         (J1g, J2g, Jlg, w_g, ig, jg, lm_g) = edges[1]
@@ -1277,9 +1282,15 @@ def make_ba_problem_pcg(
                 d = d + jnp.sum(ae * be)
             return d
 
-        x12 = jnp.zeros((K, 12), dtype)
-        xe = jnp.zeros((Cx, 6), dtype)
-        r12, re = bs12, bse
+        if x0 is None:
+            x12 = jnp.zeros((K, 12), dtype)
+            xe = jnp.zeros((Cx, 6), dtype)
+            r12, re = bs12, bse
+        else:
+            x12, xe = x0
+            Sx12, Sxe = Sx(x12, xe)
+            r12 = bs12 - Sx12
+            re = bse - Sxe if Cx else bse
         z12, ze = apply_precond(r12, re)
         p12, pe = z12, ze
         rz = dot(r12, re, z12, ze)

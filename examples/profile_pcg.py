@@ -177,7 +177,76 @@ def profile_cost_split():
           f"fixed {(ts[20]-20*slope)*1e3:.1f} ms")
 
 
+def profile_warm_start(n_chain=12, cap=40, tol=1e-3):
+    """Round 5: does warm-starting CG from the previous LM iteration's
+    solution help the late chained iterations where block-Jacobi stalls?
+    Runs the bench-5d chained protocol cold (x0=0 every iteration, the
+    bench/reference-equivalent configuration) vs warm (x0 = previous dx)
+    at the same cap/tol and compares wall time and chi2 trajectory.
+    The warm variant pays one extra Schur product per solve (initial
+    residual b - S x0)."""
+    print(f"=== warm-start chained protocol (cap={cap}, tol={tol:g}) ===")
+    data, state0, _ = make_local_ba_problem(
+        n_kf=2000, n_fixed=1, n_lm=10000, n_cams=6, obs_per_lm=4,
+        gpobs_per_lm=0, noise_px=0.5, seed=0, dtype=DTYPE)
+    data = data._replace(gp_huber=jnp.asarray(True))
+    problem = make_ba_problem_pcg(
+        data, data.mg_valid, data.sg_valid, data.st_valid,
+        pcg_iters=cap, pcg_tol=tol)
+    lam = jnp.asarray(1e-3, DTYPE)
+
+    @jax.jit
+    def cold_iter(state):
+        lin = problem.linearize(state)
+        dx, _, _ = problem.solve(lin, lam)
+        s2 = problem.retract(state, dx)
+        return s2, problem.chi2(s2)
+
+    @jax.jit
+    def warm_iter(state, x0):
+        lin = problem.linearize(state)
+        dx, _, _ = problem.solve(lin, lam, x0=x0)
+        s2 = problem.retract(state, dx)
+        return s2, problem.chi2(s2), (dx[0], dx[1])
+
+    def run_cold():
+        s = state0
+        chis = []
+        for _ in range(n_chain):
+            s, chi = cold_iter(s)
+            chis.append(chi)
+        jax.block_until_ready(chis[-1])
+        return [float(c) for c in chis]
+
+    def run_warm():
+        s = state0
+        x0 = (jnp.zeros((int(data.n_poses), 12), DTYPE),
+              jnp.zeros((int(data.n_ext), 6), DTYPE))
+        chis = []
+        for _ in range(n_chain):
+            s, chi, x0 = warm_iter(s, x0)
+            chis.append(chi)
+        jax.block_until_ready(chis[-1])
+        return [float(c) for c in chis]
+
+    chis_c = run_cold()  # compile+first
+    chis_w = run_warm()
+    t0 = time.time(); chis_c = run_cold(); t_c = time.time() - t0
+    t0 = time.time(); chis_w = run_warm(); t_w = time.time() - t0
+    print(f"cold: {t_c/n_chain*1e3:7.1f} ms/LM-iter chi2 chain "
+          f"{[round(c,1) for c in chis_c[:4]]}... -> {chis_c[-1]:.4g}")
+    print(f"warm: {t_w/n_chain*1e3:7.1f} ms/LM-iter chi2 chain "
+          f"{[round(c,1) for c in chis_w[:4]]}... -> {chis_w[-1]:.4g}")
+    rel = abs(chis_w[-1] - chis_c[-1]) / max(abs(chis_c[-1]), 1e-12)
+    print(f"final chi2 relative difference: {rel:.2e}")
+
+
 if __name__ == "__main__":
+    import sys as _sys
+    if "--warm" in _sys.argv:
+        print(f"device={jax.devices()[0]}")
+        profile_warm_start()
+        raise SystemExit
     print(f"device={jax.devices()[0]}")
     profile_eg()
     profile_global_ba()
