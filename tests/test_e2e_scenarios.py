@@ -18,6 +18,19 @@ import sys
 import numpy as np
 import pytest
 
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_after_each():
+    """These image-driven runs compile hundreds of shape-bucketed programs
+    on the CPU test backend; freeing them between tests keeps a full-suite
+    process under the mmap/RSS executable-accumulation limit documented in
+    README "Known limits" (the persistent compile cache makes any re-compile
+    cheap)."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 
 
