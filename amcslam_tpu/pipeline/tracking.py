@@ -153,10 +153,12 @@ class Tracking:
         # --- relocalization when recently lost (reference: MLPnP RANSAC,
         # stubbed upstream Tracking.cc:1431-1450/2577-2628 — functional here)
         self.frames_since_reloc += 1
+        relocalized = False
         if self.state == TrackState.RECENTLY_LOST:
             if self._relocalize(frame):
                 self.state = TrackState.OK
                 self.frames_since_reloc = 0
+                relocalized = True
             else:
                 self.last_frame = frame
                 self._record(frame)
@@ -166,20 +168,27 @@ class Tracking:
         # TrackReferenceKeyFrame (Tracking.cc:1893) when it yields too few
         # matches — e.g. after an abrupt motion the constant-twist
         # prediction misses, but descriptor matching against the reference
-        # keyframe still anchors the frame
-        self._predict(frame)
-        with GLOBAL_TIMER.span("track.motion_model"):
-            n = self._track_motion_model(frame)
-        if n < self.cfg.min_track_matches:
-            with GLOBAL_TIMER.span("track.ref_kf"):
-                n = self._track_reference_keyframe(frame)
-        if n < self.cfg.min_track_matches:
-            self.state = (
-                TrackState.RECENTLY_LOST if m.n_keyframes() > 10 else TrackState.LOST
-            )
-            self.last_frame = frame
-            self._record(frame)
-            return self.state
+        # keyframe still anchors the frame.
+        # After a relocalization the PnP pose + its inlier associations ARE
+        # the frame state (Tracking.cc:1989-2001: bOK comes straight from
+        # Relocalization and flow continues at TrackLocalMap) — running the
+        # constant-twist prediction here would overwrite the recovered pose
+        # with one extrapolated from the stale LOST frame.
+        if not relocalized:
+            self._predict(frame)
+            with GLOBAL_TIMER.span("track.motion_model"):
+                n = self._track_motion_model(frame)
+            if n < self.cfg.min_track_matches:
+                with GLOBAL_TIMER.span("track.ref_kf"):
+                    n = self._track_reference_keyframe(frame)
+            if n < self.cfg.min_track_matches:
+                self.state = (
+                    TrackState.RECENTLY_LOST if m.n_keyframes() > 10
+                    else TrackState.LOST
+                )
+                self.last_frame = frame
+                self._record(frame)
+                return self.state
 
         # --- TrackLocalMap (Tracking.cc:2004-2082)
         with GLOBAL_TIMER.span("track.local_map"):
@@ -189,10 +198,16 @@ class Tracking:
             TrackState.RECENTLY_LOST if m.n_keyframes() > 10 else TrackState.LOST
         )
 
-        # motion model update: relative twist between consecutive frames
-        dt = frame.timestamp - self.last_frame.timestamp
-        rel = _np_log_se3(np.linalg.inv(self.last_frame.Twb) @ frame.Twb)
-        self.velocity_model = rel / max(dt, 1e-6)
+        # motion model update: relative twist between consecutive frames —
+        # except against a pre-relocalization frame, whose pose is the stale
+        # lost-track extrapolation (the reference leaves mVelocity unset on
+        # the frame after a reloc, Tracking.cc:1787-1792)
+        if relocalized:
+            self.velocity_model = np.zeros(6)
+        else:
+            dt = frame.timestamp - self.last_frame.timestamp
+            rel = _np_log_se3(np.linalg.inv(self.last_frame.Twb) @ frame.Twb)
+            self.velocity_model = rel / max(dt, 1e-6)
 
         if (
             self.state == TrackState.OK
@@ -827,7 +842,7 @@ class Tracking:
             if len(mps) < 12:
                 continue
             desc_mp = np.stack([mp.descriptor for mp in mps])
-            best = None  # (n_in, cam, Tcw)
+            best = None  # (n_in, cam, Tcw, mp_rows, kp_locals, inliers)
             for cam in range(self.rig.n_cams):
                 if len(frame.keypoints[cam]) < 12:
                     continue
@@ -835,22 +850,33 @@ class Tracking:
                 sel = idx >= 0
                 if sel.sum() < 12:
                     continue
-                pts = np.stack([mps[mi].position for mi in np.nonzero(sel)[0]])
-                obs = frame.keypoints[cam][idx[sel]]
+                mp_rows = np.nonzero(sel)[0]
+                kp_locals = idx[sel]
+                pts = np.stack([mps[mi].position for mi in mp_rows])
+                obs = frame.keypoints[cam][kp_locals]
                 res = self._pnp_camera(pts, obs, self.rig.K[cam])
                 if res is None:
                     continue
-                Tcw, n_in = res
+                Tcw, n_in, inl = res
                 if n_in >= max(15, len(pts) // 3) and (
                     best is None or n_in > best[0]
                 ):
-                    best = (n_in, cam, Tcw)
+                    best = (n_in, cam, Tcw, mp_rows, kp_locals, inl)
             if best is not None:
-                _, cam, Tcw = best
+                _, cam, Tcw, mp_rows, kp_locals, inl = best
                 Twc = np.linalg.inv(Tcw)
                 frame.Twb = Twc @ np.linalg.inv(self.rig.Tbc[cam])
                 frame.velocity = np.zeros(6)
                 self.velocity_model = np.zeros(6)
+                # the PnP inlier associations become the frame's matches
+                # (the reference's Relocalization fills mvpMapPoints before
+                # handing the frame to TrackLocalMap, Tracking.cc:2577-2628;
+                # UpdateLocalKeyFrames votes through them)
+                for mi, loc, ok in zip(mp_rows, kp_locals, inl):
+                    if ok:
+                        frame.matches[frame.global_index(cam, int(loc))] = (
+                            mps[int(mi)].id
+                        )
                 return True
         return False
 
@@ -886,13 +912,13 @@ class Tracking:
             self._rng.choice(n, 6, replace=False) for _ in range(H)
         ])
         (R, t), inl, n_in = pnp_ransac(data, jnp.asarray(samples, jnp.int32))
-        R, t, n_in = jax.device_get((R, t, n_in))  # one round trip
+        R, t, inl, n_in = jax.device_get((R, t, inl, n_in))  # one round trip
         if not np.isfinite(t).all():
             return None
         Tcw = np.eye(4)
         Tcw[:3, :3] = R
         Tcw[:3, 3] = t
-        return Tcw, int(n_in)
+        return Tcw, int(n_in), np.asarray(inl[:n], bool)
 
     def _add_gp_observations(self, frame: Frame):
         """Attach this (non-keyframe) frame's inlier matches as GPObs records
