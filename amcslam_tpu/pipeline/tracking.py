@@ -200,10 +200,16 @@ class Tracking:
 
         # motion model update: relative twist between consecutive frames —
         # except against a pre-relocalization frame, whose pose is the stale
-        # lost-track extrapolation (the reference leaves mVelocity unset on
-        # the frame after a reloc, Tracking.cc:1787-1792)
+        # lost-track extrapolation. There the 12-dof pose solve's own solved
+        # velocity seeds the model instead: the GP state is (T, v) with
+        # T(t+d) ~ T exp(d v), the same body-twist convention _predict uses.
+        # (The reference leaves mVelocity unset and falls back to
+        # TrackReferenceKeyFrame on the next frame, Tracking.cc:1787-1792;
+        # a zero model here made the next frame's projection search miss by
+        # the full inter-frame motion and tracking oscillated
+        # OK -> RECENTLY_LOST -> reloc forever.)
         if relocalized:
-            self.velocity_model = np.zeros(6)
+            self.velocity_model = np.asarray(frame.velocity, float).copy()
         else:
             dt = frame.timestamp - self.last_frame.timestamp
             rel = _np_log_se3(np.linalg.inv(self.last_frame.Twb) @ frame.Twb)
@@ -831,15 +837,23 @@ class Tracking:
         if self.kfdb is None:
             return False
 
+        import os as _os
+        _dbg = _os.environ.get("AMCSLAM_RELOC_DEBUG", "") == "1"
         m = self.atlas.active
         cands = self.kfdb.detect_relocalization_candidates(
             _FrameAsKF(frame), 3
         ) if any(d is not None for d in frame.descriptors) else []
+        if _dbg:
+            print(f"[reloc] t={frame.timestamp:.2f} cands="
+                  f"{[c.id for c in cands]}", flush=True)
         for cand in cands:
             mp_ids = [int(i) for i in cand.matches if i >= 0]
             mps = [m.map_points[i] for i in set(mp_ids) if i in m.map_points]
             mps = [mp for mp in mps if not mp.bad and mp.descriptor is not None]
             if len(mps) < 12:
+                if _dbg:
+                    print(f"[reloc]  cand={cand.id} mps={len(mps)} <12",
+                          flush=True)
                 continue
             desc_mp = np.stack([mp.descriptor for mp in mps])
             best = None  # (n_in, cam, Tcw, mp_rows, kp_locals, inliers)
@@ -856,8 +870,15 @@ class Tracking:
                 obs = frame.keypoints[cam][kp_locals]
                 res = self._pnp_camera(pts, obs, self.rig.K[cam])
                 if res is None:
+                    if _dbg:
+                        print(f"[reloc]  cand={cand.id} cam={cam} "
+                              f"n_match={len(pts)} pnp=None", flush=True)
                     continue
                 Tcw, n_in, inl = res
+                if _dbg:
+                    print(f"[reloc]  cand={cand.id} cam={cam} "
+                          f"n_match={len(pts)} n_in={n_in} "
+                          f"need={max(15, len(pts) // 3)}", flush=True)
                 if n_in >= max(15, len(pts) // 3) and (
                     best is None or n_in > best[0]
                 ):
